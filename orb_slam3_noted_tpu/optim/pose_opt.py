@@ -1,0 +1,131 @@
+"""Motion-only pose optimization (the per-frame hot path).
+
+Equivalent of ``Optimizer::PoseOptimization``
+(`/root/reference/src/Optimizer.cc:824`): optimize a single camera pose
+against its matched map points, with the reference's 4-round x 10-iteration
+schedule re-classifying outliers by chi2 between rounds (`:1017-1026`), Huber
+kernels in the first two rounds and plain least squares afterwards.
+
+Fully jitted: rounds/iterations are static loops, outliers are masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.models import cameras as cam_mod
+from orb_slam3_noted_tpu.optim import factors
+from orb_slam3_noted_tpu.optim.robust import (
+    CHI2_MONO,
+    CHI2_STEREO,
+    huber_cost,
+    huber_weight,
+)
+
+N_ROUNDS = 4
+N_ITERS = 10
+_HP = jax.lax.Precision.HIGHEST
+
+
+class PoseObs(NamedTuple):
+    """Per-landmark observation table for motion-only optimization."""
+
+    uv: jnp.ndarray          # (N, 2)
+    uv_r: jnp.ndarray        # (N,)
+    inv_sigma2: jnp.ndarray  # (N,)
+    is_stereo: jnp.ndarray   # (N,) bool
+    valid: jnp.ndarray       # (N,) bool
+
+
+class PoseOptResult(NamedTuple):
+    Rcw: jnp.ndarray
+    tcw: jnp.ndarray
+    inliers: jnp.ndarray    # (N,) bool
+    n_inliers: jnp.ndarray  # () int32
+    chi2: jnp.ndarray       # (N,) final per-observation chi2
+
+
+def _evaluate(cam, Rcw, tcw, points, obs: PoseObs, active, use_huber, bf):
+    """Residuals/Jacobian/IRLS weights/robust cost for the single pose."""
+    o = factors.ReprojObs(
+        pose_idx=jnp.zeros(points.shape[0], jnp.int32),
+        point_idx=jnp.arange(points.shape[0], dtype=jnp.int32),
+        uv=obs.uv, uv_r=obs.uv_r, inv_sigma2=obs.inv_sigma2,
+        is_stereo=obs.is_stereo, valid=active,
+    )
+    r, Jp, _, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw[None], tcw[None], points, o, bf=bf
+    )
+    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
+    w = jnp.where(ok, obs.inv_sigma2 * w_rob, 0.0)
+    rob_cost = jnp.sum(
+        jnp.where(ok, jnp.where(use_huber, huber_cost(chi2, delta2), chi2), 0.0)
+    )
+    return r, Jp, chi2, w, ok, rob_cost
+
+
+def _one_round(cam, Rcw, tcw, points, obs, active, use_huber, bf):
+    def lm_iter(_, state):
+        Rcw, tcw, lam = state
+        r, Jp, _, w, _, cost_old = _evaluate(
+            cam, Rcw, tcw, points, obs, active, use_huber, bf
+        )
+        H = jnp.einsum("oai,oa,oaj->ij", Jp, jnp.broadcast_to(w[:, None], r.shape), Jp,
+                       precision=_HP)
+        g = jnp.einsum("oai,oa->i", Jp, w[:, None] * r, precision=_HP)
+        Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=r.dtype)
+        # residual r = obs - h(x) and J = dr/dx  =>  normal equations H dx = -g
+        dx = jnp.linalg.solve(Hd, -g)
+        R_new, t_new = se3.compose(se3.exp(dx), (Rcw, tcw))
+        R_new = so3.normalize(R_new)
+        _, _, _, _, _, cost_new = _evaluate(
+            cam, R_new, t_new, points, obs, active, use_huber, bf
+        )
+        better = cost_new < cost_old
+        Rcw = jnp.where(better, R_new, Rcw)
+        tcw = jnp.where(better, t_new, tcw)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        return (Rcw, tcw, lam)
+
+    Rcw, tcw, _ = jax.lax.fori_loop(
+        0, N_ITERS, lm_iter, (Rcw, tcw, jnp.asarray(1e-3, tcw.dtype))
+    )
+    # Re-classify outliers over ALL valid observations (reference gives
+    # rejected edges a chance to return each round).
+    _, _, chi2, _, ok, _ = _evaluate(
+        cam, Rcw, tcw, points, obs, obs.valid, use_huber, bf
+    )
+    th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    active_new = obs.valid & ok & (chi2 <= th)
+    return Rcw, tcw, active_new
+
+
+@partial(jax.jit, static_argnames=("cam", "bf"))
+def pose_optimization(
+    cam: cam_mod.Camera,
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    points: jnp.ndarray,
+    obs: PoseObs,
+    bf: float = 0.0,
+) -> PoseOptResult:
+    """Optimize one camera pose; landmarks fixed. Returns pose + inliers."""
+    Rcw, tcw, active = Rcw0, tcw0, obs.valid
+    for rnd in range(N_ROUNDS):
+        use_huber = jnp.asarray(rnd < 2)  # reference drops the kernel after 2
+        Rcw, tcw, active = _one_round(
+            cam, Rcw, tcw, points, obs, active, use_huber, bf
+        )
+    _, _, chi2, _, ok, _ = _evaluate(
+        cam, Rcw, tcw, points, obs, obs.valid, jnp.asarray(False), bf
+    )
+    return PoseOptResult(
+        Rcw=Rcw, tcw=tcw, inliers=active,
+        n_inliers=jnp.sum(active.astype(jnp.int32)), chi2=chi2,
+    )

@@ -1,0 +1,246 @@
+"""Fixed-capacity device-resident map state (keyframes + map points).
+
+TPU-native replacement for the reference's pointer-graph map
+(`/root/reference/src/{Map,KeyFrame,MapPoint}.cc` + per-object mutexes):
+everything is a preallocated SoA array with validity masks, updated
+functionally with ``.at[]`` — snapshots are free (immutable arrays), which
+removes the reference's lock protocol (`include/Map.h:111`
+``mMutexMapUpdate``) entirely.
+
+The covisibility graph (`include/KeyFrame.h:87-96`) is not stored as
+adjacency lists: a dense (KF_CAP, MP_CAP) observation matrix is maintained
+incrementally, and covisibility weights are one int8 matmul on the MXU
+(``obs @ obs[k]``) — the batched analogue of ``UpdateConnections``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.io.config import SlamConfig
+
+
+class MapArrays(NamedTuple):
+    """All device-resident map storage. Shapes fixed by SlamConfig."""
+
+    # keyframes: pose Tcw, features, bindings
+    kf_Rcw: jnp.ndarray        # (KF, 3, 3)
+    kf_tcw: jnp.ndarray        # (KF, 3)
+    kf_valid: jnp.ndarray      # (KF,) bool
+    kf_frame_id: jnp.ndarray   # (KF,) int32 source frame index
+    kf_xy: jnp.ndarray         # (KF, NF, 2) level-0 pixel coords
+    kf_level: jnp.ndarray      # (KF, NF) int32
+    kf_angle: jnp.ndarray      # (KF, NF) float32
+    kf_desc: jnp.ndarray       # (KF, NF, 8) uint32
+    kf_feat_valid: jnp.ndarray  # (KF, NF) bool
+    kf_mp: jnp.ndarray         # (KF, NF) int32 map-point slot or -1
+    kf_uvr: jnp.ndarray        # (KF, NF) float32 stereo right-u (<0 if mono)
+
+    # map points
+    mp_pos: jnp.ndarray        # (MP, 3)
+    mp_valid: jnp.ndarray      # (MP,) bool
+    mp_desc: jnp.ndarray       # (MP, 8) uint32 representative descriptor
+    mp_normal: jnp.ndarray     # (MP, 3) mean viewing direction (world)
+    mp_dmin: jnp.ndarray       # (MP,) scale-invariance range (min distance)
+    mp_dmax: jnp.ndarray       # (MP,)
+    mp_ref_kf: jnp.ndarray     # (MP,) int32
+    mp_nobs: jnp.ndarray       # (MP,) int32 observation count
+    mp_visible: jnp.ndarray    # (MP,) int32 "visible" counter (reference mnVisible)
+    mp_found: jnp.ndarray      # (MP,) int32 "found" counter (mnFound)
+
+    # dense observation incidence (covisibility on the MXU)
+    obs_mat: jnp.ndarray       # (KF, MP) bool
+
+
+def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapArrays:
+    KF, NF, MP = cfg.max_keyframes, cfg.n_features, cfg.max_map_points
+    return MapArrays(
+        kf_Rcw=jnp.tile(jnp.eye(3, dtype=dtype), (KF, 1, 1)),
+        kf_tcw=jnp.zeros((KF, 3), dtype),
+        kf_valid=jnp.zeros(KF, bool),
+        kf_frame_id=jnp.zeros(KF, jnp.int32),
+        kf_xy=jnp.zeros((KF, NF, 2), dtype),
+        kf_level=jnp.zeros((KF, NF), jnp.int32),
+        kf_angle=jnp.zeros((KF, NF), dtype),
+        kf_desc=jnp.zeros((KF, NF, 8), jnp.uint32),
+        kf_feat_valid=jnp.zeros((KF, NF), bool),
+        kf_mp=jnp.full((KF, NF), -1, jnp.int32),
+        kf_uvr=jnp.full((KF, NF), -1.0, dtype),
+        mp_pos=jnp.zeros((MP, 3), dtype),
+        mp_valid=jnp.zeros(MP, bool),
+        mp_desc=jnp.zeros((MP, 8), jnp.uint32),
+        mp_normal=jnp.zeros((MP, 3), dtype),
+        mp_dmin=jnp.zeros(MP, dtype),
+        mp_dmax=jnp.full(MP, 1e9, dtype),
+        mp_ref_kf=jnp.zeros(MP, jnp.int32),
+        mp_nobs=jnp.zeros(MP, jnp.int32),
+        mp_visible=jnp.ones(MP, jnp.int32),
+        mp_found=jnp.ones(MP, jnp.int32),
+        obs_mat=jnp.zeros((KF, MP), bool),
+    )
+
+
+@jax.jit
+def add_keyframe(
+    m: MapArrays,
+    slot: jnp.ndarray,        # () int32 target slot
+    Rcw: jnp.ndarray,
+    tcw: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    xy: jnp.ndarray,          # (NF, 2)
+    level: jnp.ndarray,
+    angle: jnp.ndarray,
+    desc: jnp.ndarray,
+    feat_valid: jnp.ndarray,
+    mp_bind: jnp.ndarray,     # (NF,) int32 map-point slot per feature or -1
+    uvr: jnp.ndarray,
+) -> MapArrays:
+    """Insert/overwrite a keyframe and bind its features to map points."""
+    MP = m.mp_pos.shape[0]
+    m = m._replace(
+        kf_Rcw=m.kf_Rcw.at[slot].set(Rcw),
+        kf_tcw=m.kf_tcw.at[slot].set(tcw),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_xy=m.kf_xy.at[slot].set(xy),
+        kf_level=m.kf_level.at[slot].set(level),
+        kf_angle=m.kf_angle.at[slot].set(angle),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
+        kf_mp=m.kf_mp.at[slot].set(mp_bind),
+        kf_uvr=m.kf_uvr.at[slot].set(uvr),
+    )
+    bound = mp_bind >= 0
+    mp_idx = jnp.clip(mp_bind, 0)
+    row = jnp.zeros(MP, bool).at[mp_idx].max(bound)
+    m = m._replace(
+        obs_mat=m.obs_mat.at[slot].set(row),
+        mp_nobs=m.mp_nobs.at[mp_idx].add(bound.astype(jnp.int32)),
+    )
+    return m
+
+
+@jax.jit
+def covisibility_weights(m: MapArrays, slot: jnp.ndarray) -> jnp.ndarray:
+    """(KF,) number of map points shared with keyframe `slot` (MXU matmul).
+
+    Batched equivalent of ``KeyFrame::UpdateConnections``
+    (`src/KeyFrame.cc`): weight(i) = |obs_i ∩ obs_slot|.
+    """
+    q = m.obs_mat[slot].astype(jnp.bfloat16)          # (MP,)
+    w = jnp.einsum(
+        "km,m->k", m.obs_mat.astype(jnp.bfloat16), q,
+        preferred_element_type=jnp.float32,
+    )
+    w = w * m.kf_valid
+    return w.at[slot].set(0.0)
+
+
+@jax.jit
+def local_map_mask(
+    m: MapArrays, slot: jnp.ndarray, n_neighbors: int = 10
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Map-point mask + KF mask of the covisibility-local map around `slot`.
+
+    Equivalent of ``Tracking::UpdateLocalKeyFrames/UpdateLocalPoints``
+    (`src/Tracking.cc:3262-3454`): the top covisible keyframes and the union
+    of their observed points.
+    """
+    w = covisibility_weights(m, slot)
+    top_w, top_i = jax.lax.top_k(w, n_neighbors)
+    kf_mask = jnp.zeros(m.kf_valid.shape[0], bool).at[top_i].max(top_w > 0)
+    kf_mask = kf_mask.at[slot].set(True)
+    sel = m.obs_mat & kf_mask[:, None]
+    mp_mask = jnp.any(sel, axis=0) & m.mp_valid
+    return mp_mask, kf_mask
+
+
+@partial(jax.jit, static_argnames=("n_new",))
+def add_map_points(
+    m: MapArrays,
+    start_slot: jnp.ndarray,   # () int32 first free mp slot
+    pos: jnp.ndarray,          # (n_new, 3) world positions
+    desc: jnp.ndarray,         # (n_new, 8)
+    normal: jnp.ndarray,       # (n_new, 3)
+    dmin: jnp.ndarray,
+    dmax: jnp.ndarray,
+    ref_kf: jnp.ndarray,       # () int32
+    accept: jnp.ndarray,       # (n_new,) bool
+    kf_a: jnp.ndarray,         # () int32 first observing keyframe
+    feat_a: jnp.ndarray,       # (n_new,) feature index in kf_a
+    kf_b: jnp.ndarray,         # () int32 second observing keyframe
+    feat_b: jnp.ndarray,       # (n_new,) feature index in kf_b
+    n_new: int = 0,
+) -> MapArrays:
+    """Allocate `accept`-masked new map points at consecutive slots.
+
+    Slot for entry i = start_slot + cumsum(accept)[i] (dense packing);
+    rejected entries write to a scratch slot (capacity-1) that is immediately
+    invalidated. Also binds the two observing features.
+    """
+    MP = m.mp_pos.shape[0]
+    offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    slot = jnp.where(accept, start_slot + offs, MP - 1)
+    slot = jnp.clip(slot, 0, MP - 1)
+    ok = accept & (slot < MP - 1)
+
+    m = m._replace(
+        mp_pos=m.mp_pos.at[slot].set(jnp.where(ok[:, None], pos, m.mp_pos[slot])),
+        mp_valid=m.mp_valid.at[slot].max(ok),
+        mp_desc=m.mp_desc.at[slot].set(jnp.where(ok[:, None], desc, m.mp_desc[slot])),
+        mp_normal=m.mp_normal.at[slot].set(
+            jnp.where(ok[:, None], normal, m.mp_normal[slot])
+        ),
+        mp_dmin=m.mp_dmin.at[slot].set(jnp.where(ok, dmin, m.mp_dmin[slot])),
+        mp_dmax=m.mp_dmax.at[slot].set(jnp.where(ok, dmax, m.mp_dmax[slot])),
+        mp_ref_kf=m.mp_ref_kf.at[slot].set(
+            jnp.where(ok, ref_kf, m.mp_ref_kf[slot])
+        ),
+        mp_nobs=m.mp_nobs.at[slot].set(jnp.where(ok, 2, m.mp_nobs[slot])),
+        mp_visible=m.mp_visible.at[slot].set(jnp.where(ok, 1, m.mp_visible[slot])),
+        mp_found=m.mp_found.at[slot].set(jnp.where(ok, 1, m.mp_found[slot])),
+    )
+    # bind observations in both keyframes
+    m = m._replace(
+        kf_mp=m.kf_mp.at[kf_a, feat_a].set(
+            jnp.where(ok, slot, m.kf_mp[kf_a, feat_a])
+        ),
+    )
+    m = m._replace(
+        kf_mp=m.kf_mp.at[kf_b, feat_b].set(
+            jnp.where(ok, slot, m.kf_mp[kf_b, feat_b])
+        ),
+        obs_mat=m.obs_mat.at[kf_a, slot].max(ok).at[kf_b, slot].max(ok),
+    )
+    return m
+
+
+@jax.jit
+def apply_ba_result(
+    m: MapArrays,
+    kf_slots: jnp.ndarray,   # (K,) int32 slots that were optimized
+    kf_mask: jnp.ndarray,    # (K,) bool which entries are real
+    Rcw: jnp.ndarray,        # (K, 3, 3)
+    tcw: jnp.ndarray,
+    mp_slots: jnp.ndarray,   # (M,) int32
+    mp_mask: jnp.ndarray,    # (M,) bool
+    pos: jnp.ndarray,        # (M, 3)
+) -> MapArrays:
+    """Write optimized poses/points back into the map."""
+    kf_idx = jnp.where(kf_mask, kf_slots, 0)
+    mp_idx = jnp.where(mp_mask, mp_slots, 0)
+    return m._replace(
+        kf_Rcw=m.kf_Rcw.at[kf_idx].set(
+            jnp.where(kf_mask[:, None, None], Rcw, m.kf_Rcw[kf_idx])
+        ),
+        kf_tcw=m.kf_tcw.at[kf_idx].set(
+            jnp.where(kf_mask[:, None], tcw, m.kf_tcw[kf_idx])
+        ),
+        mp_pos=m.mp_pos.at[mp_idx].set(
+            jnp.where(mp_mask[:, None], pos, m.mp_pos[mp_idx])
+        ),
+    )
