@@ -1,0 +1,65 @@
+"""Round benchmark: tracked frames/s of the full monocular pipeline.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the reference runs real-time at camera rate — EuRoC 20 fps at
+752x480 with 1200 ORB features on a desktop i7 (`/root/reference/README.md`,
+BASELINE.md).  value = steady-state tracked frames/s of this engine on the
+default backend (one TPU chip) at the same resolution/feature budget;
+vs_baseline = value / 20.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from orb_slam3_noted_tpu.io.config import SlamConfig
+    from orb_slam3_noted_tpu.models.cameras import Camera, PINHOLE
+    from orb_slam3_noted_tpu.pipeline.system import MonoSLAM
+    from orb_slam3_noted_tpu.utils.synthetic import BoxRoom, orbit_trajectory
+
+    W, H, nfeat = 752, 480, 1200
+    cam = Camera(PINHOLE, (458.654, 457.296, 367.215, 248.375))
+    cfg = SlamConfig(
+        camera=cam, width=W, height=H, n_features=nfeat,
+        max_keyframes=64, max_map_points=8192,
+        local_window=5, kf_max_interval=10,
+    )
+    room = BoxRoom(seed=0)
+    n_frames = 40
+    poses = orbit_trajectory(n_frames, forward=0.025)
+    frames = [room.render(R, t, cam.params, W, H) for R, t in poses]
+
+    # warm-up lap: triggers every compile (extract, track, triangulate, BA)
+    slam = MonoSLAM(cfg)
+    for i, img in enumerate(frames):
+        slam.process(img, i)
+
+    # timed lap on a fresh system (same shapes -> fully cached executables)
+    slam = MonoSLAM(cfg)
+    t0 = time.time()
+    for i, img in enumerate(frames):
+        slam.process(img, i)
+    wall = time.time() - t0
+
+    ok = sum(1 for r in slam.trajectory if r.state == "OK")
+    fps = n_frames / wall
+    print(
+        json.dumps(
+            {
+                "metric": "mono_tracked_fps_752x480_1200feat",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 20.0, 3),
+                "tracked_frames": ok,
+                "n_frames": n_frames,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

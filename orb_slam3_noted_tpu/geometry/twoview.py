@@ -167,23 +167,35 @@ def reconstruct_two_views(
             & (cosp < min_parallax_cos)
             & reproj_ok
         )
-        return good, pts1, R21, t21
+        return good, pts1, R21, t21, cosp
 
-    goods, ptss, Rs, ts = [], [], [], []
+    goods, ptss, Rs, ts, cosps = [], [], [], [], []
     for c in cands:
-        g, p3, R21, t21 = check(c)
+        g, p3, R21, t21, cosp = check(c)
         goods.append(g)
         ptss.append(p3)
         Rs.append(R21)
         ts.append(t21)
+        cosps.append(cosp)
     goods = jnp.stack(goods)
     counts = jnp.sum(goods, axis=-1)
     kbest = jnp.argmax(counts)
     n_good = counts[kbest]
     n_second = jnp.sort(counts)[-2]
 
-    # success criteria akin to the reference: enough points and a clear winner
-    success = (n_good >= 30) & (n_second < 0.75 * n_good)
+    # Success criteria mirroring the reference (`TwoViewReconstruction.cc`
+    # minTriangulated=50, minParallax=1 deg checked at the 50th-best point):
+    # enough well-triangulated points, a clear cheirality winner, and real
+    # parallax (guards against near-pure-rotation bootstraps whose points
+    # leak through the per-point gates via noise).
+    cosp_best = jnp.where(goods[kbest], jnp.stack(cosps)[kbest], 1.0)
+    cosp_sorted = jnp.sort(cosp_best)  # ascending = best parallax first
+    parallax_50 = cosp_sorted[jnp.minimum(49, cosp_sorted.shape[0] - 1)]
+    success = (
+        (n_good >= 50)
+        & (n_second < 0.75 * n_good)
+        & (parallax_50 < jnp.cos(jnp.deg2rad(1.0)))
+    )
     return TwoViewResult(
         success=success,
         R21=jnp.stack(Rs)[kbest],

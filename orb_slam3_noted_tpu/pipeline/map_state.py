@@ -140,7 +140,7 @@ def covisibility_weights(m: MapArrays, slot: jnp.ndarray) -> jnp.ndarray:
     return w.at[slot].set(0.0)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n_neighbors",))
 def local_map_mask(
     m: MapArrays, slot: jnp.ndarray, n_neighbors: int = 10
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -159,7 +159,7 @@ def local_map_mask(
     return mp_mask, kf_mask
 
 
-@partial(jax.jit, static_argnames=("n_new",))
+@jax.jit
 def add_map_points(
     m: MapArrays,
     start_slot: jnp.ndarray,   # () int32 first free mp slot
@@ -174,7 +174,6 @@ def add_map_points(
     feat_a: jnp.ndarray,       # (n_new,) feature index in kf_a
     kf_b: jnp.ndarray,         # () int32 second observing keyframe
     feat_b: jnp.ndarray,       # (n_new,) feature index in kf_b
-    n_new: int = 0,
 ) -> MapArrays:
     """Allocate `accept`-masked new map points at consecutive slots.
 

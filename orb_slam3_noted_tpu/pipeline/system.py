@@ -1,0 +1,255 @@
+"""Monocular SLAM system: host orchestration over jitted stages.
+
+Equivalent of the reference's ``System`` facade + Tracking state machine
+(`/root/reference/src/System.cc`, `src/Tracking.cc:1655` ``Track``): a thin
+host loop that sequences jitted device steps, keeps the scalar counters
+(keyframe/point allocation, tracking state) on the host, and records the
+trajectory.  Local mapping runs synchronously after keyframe insertion
+(SURVEY §7 phase E); the pipelined version is a later phase.
+
+States mirror the reference (`include/Tracking.h:106-114`):
+NOT_INITIALIZED -> OK -> (RECENTLY_LOST on tracking failure; dead-reckons on
+the motion model, re-anchoring when matching recovers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import se3
+from orb_slam3_noted_tpu.geometry.twoview import reconstruct_two_views
+from orb_slam3_noted_tpu.io.config import SlamConfig
+from orb_slam3_noted_tpu.models import cameras as cam_mod
+from orb_slam3_noted_tpu.ops import matching as M
+from orb_slam3_noted_tpu.ops import orb as O
+from orb_slam3_noted_tpu.pipeline import map_state as MS
+from orb_slam3_noted_tpu.pipeline import tracking as T
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+RECENTLY_LOST = "RECENTLY_LOST"
+
+
+@dataclass
+class FrameRecord:
+    frame_id: int
+    Rcw: np.ndarray
+    tcw: np.ndarray
+    state: str
+    n_inliers: int
+
+
+class MonoSLAM:
+    """Monocular SLAM on one device. See module docstring."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        self.m = MS.empty_map(cfg)
+        self.n_kf = 0
+        self.n_mp = 0
+        self.state = NOT_INITIALIZED
+        self.ref_feats = None       # first frame features (for init)
+        self.ref_frame_id = None
+        self.vel = None             # relative motion (R, t): Tcw_k = vel o Tcw_{k-1}
+        self.last_Rcw = jnp.eye(3, dtype=jnp.float32)
+        self.last_tcw = jnp.zeros(3, dtype=jnp.float32)
+        self.last_kf_slot = 0
+        self.frames_since_kf = 0
+        self.tracked_at_kf = 0
+        self.trajectory: list[FrameRecord] = []
+
+    # ------------------------------------------------------------------
+    def process(self, img, frame_id: int):
+        """Feed one grayscale image (H, W) float32 [0, 255]."""
+        feats = O.extract_orb(
+            jnp.asarray(img, jnp.float32),
+            n_features=self.cfg.n_features,
+            n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor,
+            th_high=self.cfg.ini_th_fast,
+            th_low=self.cfg.min_th_fast,
+        )
+        if self.state == NOT_INITIALIZED:
+            self._try_initialize(feats, frame_id)
+        else:
+            self._track(feats, frame_id)
+        return self.trajectory[-1] if self.trajectory else None
+
+    # ------------------------------------------------------------------
+    def _record(self, frame_id, Rcw, tcw, n_inl):
+        self.trajectory.append(
+            FrameRecord(frame_id, np.asarray(Rcw), np.asarray(tcw), self.state, n_inl)
+        )
+        self.last_Rcw = Rcw
+        self.last_tcw = tcw
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, frame_id):
+        cfg = self.cfg
+        if self.ref_feats is None:
+            self.ref_feats = feats
+            self.ref_frame_id = frame_id
+            self._record(frame_id, jnp.eye(3, dtype=jnp.float32),
+                         jnp.zeros(3, jnp.float32), 0)
+            return
+
+        ref = self.ref_feats
+        d = M.hamming_matrix(ref.desc, feats.desc)
+        mm = M.match_nn(
+            d, ref.valid, feats.valid, max_dist=M.TH_LOW, ratio=0.9,
+            mutual=True, ang_a=ref.angle, ang_b=feats.angle,
+        )
+        idx = mm.idx
+        matched = idx >= 0
+        n_matches = int(jnp.sum(matched))
+        if n_matches < 100:
+            # reference resets the initializer if matching is too weak
+            self.ref_feats = feats
+            self.ref_frame_id = frame_id
+            self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
+            return
+
+        rays1 = cam_mod.unproject(self.cam, ref.xy)
+        rays2 = cam_mod.unproject(self.cam, feats.xy[jnp.clip(idx, 0)])
+        fx = self.cam.fx
+        res = reconstruct_two_views(
+            rays1, rays2, matched, jax.random.PRNGKey(frame_id),
+            err_thresh=3.84 / (fx * fx),
+        )
+        if not bool(res.success):
+            self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
+            return
+
+        # normalize scale: median depth of accepted points -> 1 (reference
+        # CreateInitialMapMonocular)
+        good = np.asarray(res.is_inlier)
+        z = np.asarray(res.points1)[:, 2]
+        med = float(np.median(z[good]))
+        scale = 1.0 / max(med, 1e-6)
+        pts_w = res.points1 * scale        # KF0 frame == world
+        t21 = res.t21 * scale
+
+        m = self.m
+        NF = cfg.n_features
+        nobind = jnp.full((NF,), -1, jnp.int32)
+        m = MS.add_keyframe(
+            m, jnp.int32(0), jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.int32(self.ref_frame_id),
+            ref.xy, ref.level, ref.angle, ref.desc, ref.valid, nobind,
+            jnp.full((NF,), -1.0, jnp.float32),
+        )
+        m = MS.add_keyframe(
+            m, jnp.int32(1), res.R21, t21, jnp.int32(frame_id),
+            feats.xy, feats.level, feats.angle, feats.desc, feats.valid, nobind,
+            jnp.full((NF,), -1.0, jnp.float32),
+        )
+        # map points: normal/scale range from KF0 geometry
+        dist = jnp.linalg.norm(pts_w, axis=-1)
+        normal = pts_w / jnp.maximum(dist, 1e-9)[:, None]
+        sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), jnp.float32)
+        dmax = dist * sf[ref.level]
+        dmin = dmax / sf[cfg.n_levels - 1]
+        accept = jnp.asarray(good)
+        m = MS.add_map_points(
+            m, jnp.int32(0), pts_w, ref.desc, normal, dmin, dmax,
+            jnp.int32(0), accept,
+            jnp.int32(0), jnp.arange(NF, dtype=jnp.int32),
+            jnp.int32(1), jnp.clip(idx, 0),
+        )
+        self.n_mp = int(jnp.sum(accept))
+        self.n_kf = 2
+        # full BA over the initial map (reference GlobalBundleAdjustemnt(20))
+        m = T.local_ba(m, jnp.int32(1), self.cam, cfg, window=1)
+        self.m = m
+        self.state = OK
+        self.last_kf_slot = 1
+        self.frames_since_kf = 0
+        self.tracked_at_kf = self.n_mp
+        self.vel = None
+        self._record(frame_id, res.R21, t21, self.n_mp)
+
+    # ------------------------------------------------------------------
+    def _track(self, feats, frame_id):
+        cfg = self.cfg
+        # pose prediction: constant-velocity motion model (src/Tracking.cc
+        # mVelocity), else last pose
+        if self.vel is not None:
+            Rp, tp = se3.compose(self.vel, (self.last_Rcw, self.last_tcw))
+        else:
+            Rp, tp = self.last_Rcw, self.last_tcw
+
+        mp_mask, _ = MS.local_map_mask(
+            self.m, jnp.int32(self.last_kf_slot), n_neighbors=cfg.local_window
+        )
+        Rcw, tcw, n_inl, mp_of_feat = T.track_frame(
+            self.m, feats, Rp, tp, mp_mask, self.cam, cfg
+        )
+        n_inl = int(n_inl)
+
+        if n_inl < cfg.min_tracked_points:
+            # dead-reckon on the motion model (reference RECENTLY_LOST)
+            self.state = RECENTLY_LOST
+            self.vel = None
+            self._record(frame_id, Rp, tp, n_inl)
+            self.frames_since_kf += 1
+            return
+
+        self.state = OK
+        self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
+        self.frames_since_kf += 1
+        self._record(frame_id, Rcw, tcw, n_inl)
+
+        need_kf = (
+            self.frames_since_kf >= cfg.kf_max_interval
+            or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
+        ) and self.n_kf < cfg.max_keyframes - 1
+        if need_kf:
+            self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl)
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl):
+        cfg = self.cfg
+        slot = self.n_kf
+        m = MS.add_keyframe(
+            self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
+            feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
+            mp_of_feat, jnp.full((cfg.n_features,), -1.0, jnp.float32),
+        )
+        self.n_kf += 1
+
+        # triangulate new points against the best covisible neighbours
+        w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
+        neighbors = np.argsort(-w)[:2]
+        for nb in neighbors:
+            if w[nb] <= 0 or self.n_mp >= cfg.max_map_points - cfg.n_features:
+                continue
+            out = T.triangulate_between(m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg)
+            pos_w, desc, normal, dmin, dmax, feat_a, feat_b, accept = out
+            n_new = int(jnp.sum(accept))
+            if n_new == 0:
+                continue
+            m = MS.add_map_points(
+                m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
+                jnp.int32(slot), accept,
+                jnp.int32(slot), feat_a, jnp.int32(nb), feat_b,
+            )
+            self.n_mp += n_new
+
+        m = T.local_ba(m, jnp.int32(slot), self.cam, cfg, window=cfg.local_window)
+        self.m = m
+        self.last_kf_slot = slot
+        self.frames_since_kf = 0
+        self.tracked_at_kf = max(n_inl, 1)
+
+    # ------------------------------------------------------------------
+    def positions(self):
+        """(N, 3) camera-center trajectory (world frame)."""
+        out = []
+        for rec in self.trajectory:
+            out.append(-rec.Rcw.T @ rec.tcw)
+        return np.stack(out)

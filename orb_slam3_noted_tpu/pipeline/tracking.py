@@ -1,0 +1,315 @@
+"""Monocular tracking + synchronous local mapping.
+
+Functional re-design of the reference's Tracking thread
+(`/root/reference/src/Tracking.cc` ``Track`` `:1655`) and the parts of
+LocalMapping it needs (`src/LocalMapping.cc`: ``CreateNewMapPoints`` `:402`,
+``LocalBundleAdjustment``): a host-side state machine around fully jitted
+steps.  As in SURVEY §7 phase E, local mapping runs synchronously interleaved
+at first; the pipelined/async version comes with the multi-stage scheduler.
+
+Per-frame hot path (all one jit each):
+- :func:`project_map_points` — frustum + scale-range visibility for every
+  map point at once (``Frame::isInFrustum``, `src/Frame.cc`).
+- :func:`track_frame` — projection-gated matching + motion-only pose
+  optimization (``TrackWithMotionModel``+``TrackLocalMap``).
+- :func:`triangulate_between` — epipolar-gated descriptor matching and
+  two-view triangulation of still-unbound features between two keyframes.
+- :func:`local_ba` — windowed BA over the top covisible keyframes, landmarks
+  marginalized (Schur) against the full fixed-capacity point table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.geometry.triangulation import triangulate_dlt
+from orb_slam3_noted_tpu.geometry.twoview import reconstruct_two_views
+from orb_slam3_noted_tpu.io.config import SlamConfig
+from orb_slam3_noted_tpu.models import cameras as cam_mod
+from orb_slam3_noted_tpu.ops import matching as M
+from orb_slam3_noted_tpu.ops import orb as O
+from orb_slam3_noted_tpu.optim import factors
+from orb_slam3_noted_tpu.optim.ba import BAProblem, bundle_adjust
+from orb_slam3_noted_tpu.optim.pose_opt import PoseObs, pose_optimization
+from orb_slam3_noted_tpu.pipeline import map_state as MS
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# visibility + tracking
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "width", "height", "n_levels", "scale_factor"))
+def project_map_points(
+    m: MS.MapArrays,
+    Rcw: jnp.ndarray,
+    tcw: jnp.ndarray,
+    cam: cam_mod.Camera,
+    width: int,
+    height: int,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+):
+    """uv, predicted level, visibility for ALL map points (batched isInFrustum)."""
+    xc = jnp.einsum("ij,mj->mi", Rcw, m.mp_pos, precision=_HP) + tcw
+    uv = cam_mod.project(cam, xc)
+    z_ok = xc[:, 2] > 0.05
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    )
+    # distance within scale-invariance range (reference isInFrustum)
+    cam_center = -jnp.einsum("ji,j->i", Rcw, tcw, precision=_HP)
+    d = jnp.linalg.norm(m.mp_pos - cam_center, axis=-1)
+    dist_ok = (d >= 0.8 * m.mp_dmin) & (d <= 1.2 * m.mp_dmax)
+    # viewing angle < 60 deg of the mean normal
+    view = (m.mp_pos - cam_center) / jnp.maximum(d, 1e-9)[:, None]
+    cos_view = jnp.sum(view * m.mp_normal, axis=-1)
+    angle_ok = cos_view > 0.5
+    # predicted octave from distance (reference MapPoint::PredictScale)
+    ratio = jnp.maximum(m.mp_dmax / jnp.maximum(d, 1e-9), 1.0)
+    level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / np.log(scale_factor)).astype(jnp.int32),
+        0,
+        n_levels - 1,
+    )
+    visible = m.mp_valid & z_ok & in_img & dist_ok & angle_ok
+    return uv, level, visible
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def track_frame(
+    m: MS.MapArrays,
+    feats: O.FrameFeatures,
+    Rcw_pred: jnp.ndarray,
+    tcw_pred: jnp.ndarray,
+    local_mp_mask: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+):
+    """Match local map points into the frame and optimize the pose.
+
+    Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
+    """
+    uv_pred, level_pred, visible = project_map_points(
+        m, Rcw_pred, tcw_pred, cam, cfg.width, cfg.height,
+        cfg.n_levels, cfg.scale_factor,
+    )
+    vis = visible & local_mp_mask
+    sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), uv_pred.dtype)
+    radius = cfg.search_radius_px * sf[level_pred]
+    mm = M.search_by_projection(
+        uv_pred, radius, level_pred,
+        m.mp_desc, vis,
+        feats.xy, feats.level, feats.desc, feats.valid,
+        max_dist=M.TH_HIGH, ratio=cfg.nn_ratio_track,
+    )
+    mm = M.resolve_duplicates(mm, feats.xy.shape[0])
+
+    # per-map-point observation of the matched feature
+    matched = mm.idx >= 0
+    f_idx = jnp.clip(mm.idx, 0)
+    sigma2 = jnp.asarray(cfg.level_sigma2, uv_pred.dtype)
+    obs = PoseObs(
+        uv=feats.xy[f_idx],
+        uv_r=jnp.zeros_like(uv_pred[:, 0]),
+        inv_sigma2=1.0 / sigma2[feats.level[f_idx]],
+        is_stereo=jnp.zeros_like(matched),
+        valid=matched,
+    )
+    res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs)
+
+    # mp id per frame feature (for keyframe binding): invert the matching.
+    # Non-kept entries scatter into a scratch slot (NF) that is sliced away.
+    NF = feats.xy.shape[0]
+    src_mp = jnp.arange(m.mp_pos.shape[0], dtype=jnp.int32)
+    keep = matched & res.inliers
+    tgt = jnp.where(keep, f_idx, NF)
+    mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+    return res.Rcw, res.tcw, res.n_inliers, mp_of_feat
+
+
+# ---------------------------------------------------------------------------
+# new map points between two keyframes
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def triangulate_between(
+    m: MS.MapArrays,
+    slot_a: jnp.ndarray,
+    slot_b: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+):
+    """Match unbound features of KF a against KF b and triangulate.
+
+    Equivalent of ``LocalMapping::CreateNewMapPoints`` +
+    ``ORBmatcher::SearchForTriangulation`` (epipolar-gated descriptor match)
+    + the cheirality/parallax/reprojection acceptance gates.
+
+    Returns (pos_w, desc, normal, dmin, dmax, feat_a, feat_b, accept) with
+    static length NF (one candidate per unbound feature of KF a).
+    """
+    NF = m.kf_xy.shape[1]
+    Ra, ta = m.kf_Rcw[slot_a], m.kf_tcw[slot_a]
+    Rb, tb = m.kf_Rcw[slot_b], m.kf_tcw[slot_b]
+    # relative pose b<-a : x_b = Rba x_a + tba
+    Rba = Rb @ Ra.T
+    tba = tb - jnp.einsum("ij,j->i", Rba, ta, precision=_HP)
+
+    free_a = m.kf_feat_valid[slot_a] & (m.kf_mp[slot_a] < 0)
+    free_b = m.kf_feat_valid[slot_b] & (m.kf_mp[slot_b] < 0)
+    rays_a = cam_mod.unproject(cam, m.kf_xy[slot_a])
+    rays_b = cam_mod.unproject(cam, m.kf_xy[slot_b])
+
+    # descriptor distances with epipolar gating (Sampson in normalized coords)
+    d = M.hamming_matrix(m.kf_desc[slot_a], m.kf_desc[slot_b])
+    E = so3.hat(tba) @ Rba
+    Ex1 = jnp.einsum("ij,nj->ni", E, rays_a, precision=_HP)      # (NF, 3)
+    Etx2 = jnp.einsum("ji,nj->ni", E, rays_b, precision=_HP)
+    # r_b^T E r_a for all pairs, laid out (a, b)
+    x2Ex1 = jnp.einsum("bi,ai->ab", rays_b, Ex1, precision=_HP)
+    denom = (
+        (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2)[:, None]
+        + (Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2)[None, :]
+    )
+    sampson = x2Ex1 ** 2 / jnp.maximum(denom, 1e-12)
+    fx = cam.fx
+    epi_ok = sampson < (3.84 / (fx * fx))
+
+    gate = free_a[:, None] & free_b[None, :] & epi_ok
+    masked = jnp.where(gate, d, M.BIG)
+    best = jnp.min(masked, axis=1)
+    idx_b = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    ok = (best <= M.TH_LOW) & free_a
+    # mutual best
+    best_for_b = jnp.argmin(masked, axis=0)
+    ok = ok & (best_for_b[idx_b] == jnp.arange(NF))
+
+    ra = rays_a
+    rb = rays_b[idx_b]
+    pts_a = triangulate_dlt(ra, rb, Rba, tba)
+    za = pts_a[:, 2]
+    pb = pts_a @ Rba.T + tba
+    zb = pb[:, 2]
+    # acceptance: cheirality, parallax, reprojection in both views
+    za_s = jnp.where(jnp.abs(za) < 1e-9, 1e-9, za)
+    zb_s = jnp.where(jnp.abs(zb) < 1e-9, 1e-9, zb)
+    e_a = jnp.sum((pts_a[:, :2] / za_s[:, None] - ra[:, :2]) ** 2, axis=-1)
+    e_b = jnp.sum((pb[:, :2] / zb_s[:, None] - rb[:, :2]) ** 2, axis=-1)
+    reproj_ok = (e_a < 2 * 3.84 / (fx * fx)) & (e_b < 2 * 3.84 / (fx * fx))
+    cam_b_in_a = -jnp.einsum("ji,j->i", Rba, tba, precision=_HP)
+    v1 = pts_a
+    v2 = pts_a - cam_b_in_a
+    cosp = jnp.sum(v1 * v2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12
+    )
+    accept = ok & (za > 0.05) & (zb > 0.05) & (cosp < 0.9998) & reproj_ok
+
+    # to world: x_w = Ra^T (x_a - ta)
+    pos_w = jnp.einsum("ji,nj->ni", Ra, pts_a - ta, precision=_HP)
+    # normal/scale range from KF a viewing geometry (reference
+    # MapPoint::UpdateNormalAndDepth)
+    cam_a_center = -jnp.einsum("ji,j->i", Ra, ta, precision=_HP)
+    vecs = pos_w - cam_a_center
+    dist = jnp.linalg.norm(vecs, axis=-1)
+    normal = vecs / jnp.maximum(dist, 1e-9)[:, None]
+    sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), pos_w.dtype)
+    lvl = m.kf_level[slot_a]
+    dmax = dist * sf[lvl]
+    dmin = dmax / sf[cfg.n_levels - 1]
+    desc = m.kf_desc[slot_a]
+    return pos_w, desc, normal, dmin, dmax, jnp.arange(NF, dtype=jnp.int32), idx_b, accept
+
+
+# ---------------------------------------------------------------------------
+# local bundle adjustment over the covisibility window
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "window"))
+def local_ba(
+    m: MS.MapArrays,
+    center_slot: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    window: int = 8,
+):
+    """Windowed BA: top-`window` covisible KFs of `center_slot` + center.
+
+    The earliest keyframe inside the window is held fixed as the gauge
+    anchor (the reference additionally fixes all out-of-window observers;
+    that refinement comes with the async mapper).
+    Returns the updated map.
+    """
+    KF, NF = m.kf_xy.shape[0], m.kf_xy.shape[1]
+    MP = m.mp_pos.shape[0]
+    K = window + 1
+
+    w = MS.covisibility_weights(m, center_slot)
+    top_w, top_i = jax.lax.top_k(w, window)
+    kf_slots = jnp.concatenate([center_slot[None].astype(jnp.int32), top_i.astype(jnp.int32)])
+    kf_mask = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
+    # fix: earliest frame id in the window (gauge); also fix padded entries
+    fids = jnp.where(kf_mask, m.kf_frame_id[kf_slots], jnp.int32(1 << 30))
+    anchor = jnp.argmin(fids)
+    pose_fixed = ~kf_mask
+    pose_fixed = pose_fixed.at[anchor].set(True)
+
+    # observation table: one row per (window kf, feature)
+    k_local = jnp.repeat(jnp.arange(K, dtype=jnp.int32), NF)
+    f_idx = jnp.tile(jnp.arange(NF, dtype=jnp.int32), K)
+    kf_g = kf_slots[k_local]
+    mp_id = m.kf_mp[kf_g, f_idx]
+    valid = (
+        kf_mask[k_local]
+        & (mp_id >= 0)
+        & m.kf_feat_valid[kf_g, f_idx]
+    )
+    mp_idx = jnp.clip(mp_id, 0)
+    valid = valid & m.mp_valid[mp_idx]
+    sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
+    obs = factors.ReprojObs(
+        pose_idx=k_local,
+        point_idx=mp_idx,
+        uv=m.kf_xy[kf_g, f_idx],
+        uv_r=jnp.zeros(K * NF, m.mp_pos.dtype),
+        inv_sigma2=1.0 / sigma2[m.kf_level[kf_g, f_idx]],
+        is_stereo=jnp.zeros(K * NF, bool),
+        valid=valid,
+    )
+    # points seen in the window are free, everything else fixed
+    seen = jnp.zeros(MP, bool).at[mp_idx].max(valid)
+    prob = BAProblem(
+        Rcw=m.kf_Rcw[kf_slots],
+        tcw=m.kf_tcw[kf_slots],
+        points=m.mp_pos,
+        obs=obs,
+        pose_fixed=pose_fixed,
+        point_fixed=~seen,
+    )
+    res = bundle_adjust(cam, prob, n_iters=5, n_iters_final=5)
+    m = MS.apply_ba_result(
+        m,
+        kf_slots, kf_mask,  # fixed entries were not moved by BA
+        res.Rcw, res.tcw,
+        jnp.arange(MP, dtype=jnp.int32), seen, res.points,
+    )
+    # drop observations classified as outliers (unbind feature -> mp)
+    out = valid & ~res.inlier
+    new_kf_mp = m.kf_mp.at[kf_g, f_idx].set(
+        jnp.where(out, -1, m.kf_mp[kf_g, f_idx])
+    )
+    # note: obs_mat rows for window KFs are rebuilt from the bindings
+    rows = jnp.zeros((K, MP), bool).at[k_local, mp_idx].max(
+        (new_kf_mp[kf_g, f_idx] >= 0) & valid
+    )
+    obs_mat = m.obs_mat.at[kf_slots].set(
+        jnp.where(kf_mask[:, None], rows, m.obs_mat[kf_slots])
+    )
+    return m._replace(kf_mp=new_kf_mp, obs_mat=obs_mat)

@@ -1,0 +1,117 @@
+"""Synthetic textured-room renderer for end-to-end SLAM tests.
+
+The reference validates only on recorded datasets (EuRoC/TUM-VI); this
+repository additionally needs hermetic end-to-end tests (SURVEY §4), so we
+render a camera moving inside a texture-mapped box room: three visible
+planes (back wall, floor, side wall) with high-frequency random textures,
+ray-cast per pixel with bilinear texture sampling.  Non-planar scene
+geometry keeps two-view initialization well-conditioned.
+
+Pure numpy (host-side test harness, not part of the TPU compute path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class BoxRoom:
+    """Axis-aligned textured room. World frame: x right, y down, z forward.
+
+    Planes: back wall z = depth; floor y = +h; side wall x = +w.
+    """
+
+    def __init__(self, seed=0, depth=8.0, h=1.5, w=3.0, tex_size=2048, tex_scale=80.0):
+        rng = np.random.default_rng(seed)
+        self.depth, self.h, self.w = depth, h, w
+        self.tex_scale = tex_scale  # texels per world unit
+
+        def make_tex():
+            # multi-octave noise: realistic image statistics (power at several
+            # scales) so descriptors stay stable under view-dependent
+            # resampling — pure white noise aliases badly and kills matching
+            t = np.zeros((tex_size, tex_size), np.float32)
+            for octave, amp in [(4, 0.2), (16, 0.5), (64, 1.0), (256, 0.6)]:
+                coarse = rng.uniform(-1, 1, size=(octave, octave)).astype(np.float32)
+                reps = tex_size // octave
+                up = np.kron(coarse, np.ones((reps, reps), np.float32))
+                # smooth the blocky upsample
+                k = max(reps // 2, 1)
+                for ax in (0, 1):
+                    up = (
+                        np.roll(up, k, ax) + 2.0 * up + np.roll(up, -k, ax)
+                    ) * 0.25
+                t += amp * up
+            t -= t.min()
+            t *= 255.0 / max(t.max(), 1e-6)
+            return t
+
+        self.tex = [make_tex() for _ in range(3)]
+
+    def _sample(self, tex, u, v):
+        ts = tex.shape[0]
+        u = np.mod(u * self.tex_scale, ts - 1.001)
+        v = np.mod(v * self.tex_scale, ts - 1.001)
+        u0 = np.floor(u).astype(np.int64)
+        v0 = np.floor(v).astype(np.int64)
+        fu = u - u0
+        fv = v - v0
+        return (
+            tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, u0 + 1] * fu * (1 - fv)
+            + tex[v0 + 1, u0] * (1 - fu) * fv
+            + tex[v0 + 1, u0 + 1] * fu * fv
+        )
+
+    def render(self, Rwc: np.ndarray, twc: np.ndarray, cam_params, width, height):
+        """Render a grayscale image for camera-to-world pose (Rwc, twc).
+
+        cam_params = (fx, fy, cx, cy) pinhole.
+        """
+        fx, fy, cx, cy = cam_params[:4]
+        xs = (np.arange(width, dtype=np.float64) - cx) / fx
+        ys = (np.arange(height, dtype=np.float64) - cy) / fy
+        gx, gy = np.meshgrid(xs, ys)
+        dirs_c = np.stack([gx, gy, np.ones_like(gx)], axis=-1)  # (H, W, 3)
+        dirs_w = dirs_c @ Rwc.T  # rotate to world
+        o = twc
+
+        best_t = np.full((height, width), np.inf)
+        img = np.zeros((height, width), np.float32)
+
+        planes = [
+            # (axis, value, texture, uv axes)
+            (2, self.depth, self.tex[0], (0, 1)),  # back wall: uv = (x, y)
+            (1, self.h, self.tex[1], (0, 2)),      # floor: uv = (x, z)
+            (0, self.w, self.tex[2], (1, 2)),      # side wall: uv = (y, z)
+        ]
+        for axis, val, tex, (ua, va) in planes:
+            d_ax = dirs_w[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (val - o[axis]) / d_ax
+            hitu = o[ua] + t * dirs_w[..., ua]
+            hitv = o[va] + t * dirs_w[..., va]
+            valid = (t > 0.05) & np.isfinite(t) & (t < best_t)
+            shade = self._sample(tex, hitu, hitv)
+            img = np.where(valid, shade, img)
+            best_t = np.where(valid, t, best_t)
+        return img.astype(np.float32)
+
+
+def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1):
+    """Camera-to-world poses: gentle lateral arc + forward motion + yaw."""
+    from orb_slam3_noted_tpu.geometry import so3
+    import jax.numpy as jnp
+
+    poses = []
+    rng = np.random.default_rng(seed)
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        twc = np.array(
+            [radius * np.sin(0.8 * s), 0.15 * np.sin(1.7 * s), forward * i]
+        )
+        yaw = 0.12 * np.sin(2.1 * s)
+        pitch = 0.04 * np.sin(1.3 * s + 0.5)
+        Rwc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, 0.0])))
+        poses.append((Rwc, twc))
+    return poses
