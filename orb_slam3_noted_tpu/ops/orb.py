@@ -185,9 +185,15 @@ def extract_orb(
         ang = ic_angles(level_img, kps.xy)
         blur = image_ops.gaussian_blur(level_img, 7, 2.0)
         desc = brief_descriptors(blur, kps.xy, ang)
+        # Exact level->0 mapping: the resize uses half-pixel centers and the
+        # ACTUAL per-axis ratio W0/Wl (rounded level sizes drift from the
+        # nominal 1.2^l by ~0.1%, which is a visible disparity bias).
+        h0, w0 = img.shape[-2], img.shape[-1]
+        hl, wl = level_img.shape[-2], level_img.shape[-1]
+        ax = jnp.asarray([w0 / wl, h0 / hl], img.dtype)
         outs.append(
             FrameFeatures(
-                xy=kps.xy * jnp.float32(sf[lvl]),
+                xy=(kps.xy + 0.5) * ax - 0.5,
                 level=jnp.full((budget,), lvl, dtype=jnp.int32),
                 angle=ang,
                 response=kps.score,

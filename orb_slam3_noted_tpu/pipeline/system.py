@@ -174,7 +174,7 @@ class MonoSLAM:
         self._record(frame_id, res.R21, t21, self.n_mp)
 
     # ------------------------------------------------------------------
-    def _track(self, feats, frame_id):
+    def _track(self, feats, frame_id, uvr=None, depth=None):
         cfg = self.cfg
         # pose prediction: constant-velocity motion model (src/Tracking.cc
         # mVelocity), else last pose
@@ -187,7 +187,8 @@ class MonoSLAM:
             self.m, jnp.int32(self.last_kf_slot), n_neighbors=cfg.local_window
         )
         Rcw, tcw, n_inl, mp_of_feat = T.track_frame(
-            self.m, feats, Rp, tp, mp_mask, self.cam, cfg
+            self.m, feats, Rp, tp, mp_mask, self.cam, cfg,
+            feat_uvr=uvr, bf=cfg.bf,
         )
         n_inl = int(n_inl)
 
@@ -209,18 +210,30 @@ class MonoSLAM:
             or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
         ) and self.n_kf < cfg.max_keyframes - 1
         if need_kf:
-            self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl)
+            self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                                  uvr=uvr, depth=depth)
 
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl):
+    def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                         uvr=None, depth=None):
         cfg = self.cfg
         slot = self.n_kf
+        uvr_arr = uvr if uvr is not None else jnp.full(
+            (cfg.n_features,), -1.0, jnp.float32
+        )
         m = MS.add_keyframe(
             self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
             feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
-            mp_of_feat, jnp.full((cfg.n_features,), -1.0, jnp.float32),
+            mp_of_feat, uvr_arr,
         )
         self.n_kf += 1
+
+        # stereo/RGB-D: create close points directly from depth
+        if depth is not None and self.n_mp < cfg.max_map_points - cfg.n_features:
+            out = T.stereo_points_from_depth(
+                m, jnp.int32(slot), depth, self.cam, cfg, bf=cfg.bf
+            )
+            m, added = self._add_candidates(m, slot, out)
 
         # triangulate new points against the best covisible neighbours
         w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
@@ -229,22 +242,32 @@ class MonoSLAM:
             if w[nb] <= 0 or self.n_mp >= cfg.max_map_points - cfg.n_features:
                 continue
             out = T.triangulate_between(m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg)
-            pos_w, desc, normal, dmin, dmax, feat_a, feat_b, accept = out
-            n_new = int(jnp.sum(accept))
-            if n_new == 0:
-                continue
-            m = MS.add_map_points(
-                m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
-                jnp.int32(slot), accept,
-                jnp.int32(slot), feat_a, jnp.int32(nb), feat_b,
-            )
-            self.n_mp += n_new
+            m, _ = self._add_candidates(m, slot, out, kf_b=int(nb))
 
-        m = T.local_ba(m, jnp.int32(slot), self.cam, cfg, window=cfg.local_window)
+        m = T.local_ba(
+            m, jnp.int32(slot), self.cam, cfg,
+            window=cfg.local_window, bf=cfg.bf,
+        )
         self.m = m
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
+
+    # ------------------------------------------------------------------
+    def _add_candidates(self, m, slot, out, kf_b=None):
+        """Insert accepted new-map-point candidates, advancing the allocator."""
+        pos_w, desc, normal, dmin, dmax, feat_a, feat_b, accept = out
+        n_new = int(jnp.sum(accept))
+        if n_new == 0:
+            return m, 0
+        m = MS.add_map_points(
+            m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
+            jnp.int32(slot), accept,
+            jnp.int32(slot), feat_a,
+            jnp.int32(slot if kf_b is None else kf_b), feat_b,
+        )
+        self.n_mp += n_new
+        return m, n_new
 
     # ------------------------------------------------------------------
     def positions(self):
@@ -253,3 +276,86 @@ class MonoSLAM:
         for rec in self.trajectory:
             out.append(-rec.Rcw.T @ rec.tcw)
         return np.stack(out)
+
+
+class StereoSLAM(MonoSLAM):
+    """Stereo SLAM: rectified pair in, metric-scale map out.
+
+    Differences from monocular (mirroring the reference's stereo branches):
+    initialization from a single frame's stereo depth
+    (``Tracking::StereoInitialization``, `src/Tracking.cc:2167`), stereo
+    3-row observations in pose optimization and local BA, and new map points
+    created directly from depth at keyframe insertion.
+    """
+
+    MIN_INIT_POINTS = 300  # reference requires 500 stereo points at init
+
+    def process(self, img_left, img_right, frame_id: int):
+        from orb_slam3_noted_tpu.ops import image as I
+        from orb_slam3_noted_tpu.ops.stereo import match_stereo
+
+        cfg = self.cfg
+        iml = jnp.asarray(img_left, jnp.float32)
+        imr = jnp.asarray(img_right, jnp.float32)
+        kw = dict(
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        feats = O.extract_orb(iml, **kw)
+        feats_r = O.extract_orb(imr, **kw)
+        pyr_l = tuple(I.build_pyramid(iml, cfg.n_levels, cfg.scale_factor))
+        pyr_r = tuple(I.build_pyramid(imr, cfg.n_levels, cfg.scale_factor))
+        baseline = cfg.bf / self.cam.fx
+        sm = match_stereo(
+            feats, feats_r, pyr_l, pyr_r, bf=cfg.bf, baseline=baseline,
+            n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
+        )
+        uvr = jnp.where(sm.valid, sm.u_right, -1.0)
+        depth = jnp.where(sm.valid, sm.depth, -1.0)
+
+        if self.state == NOT_INITIALIZED:
+            self._stereo_initialize(feats, frame_id, uvr, depth)
+        else:
+            self._track(feats, frame_id, uvr=uvr, depth=depth)
+        return self.trajectory[-1] if self.trajectory else None
+
+    def _stereo_initialize(self, feats, frame_id, uvr, depth):
+        cfg = self.cfg
+        n_depth = int(jnp.sum((depth > 0) & feats.valid))
+        if n_depth < self.MIN_INIT_POINTS:
+            self._record(frame_id, jnp.eye(3, dtype=jnp.float32),
+                         jnp.zeros(3, jnp.float32), 0)
+            return
+        m = MS.add_keyframe(
+            self.m, jnp.int32(0), jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.int32(frame_id),
+            feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
+            jnp.full((cfg.n_features,), -1, jnp.int32), uvr,
+        )
+        self.n_kf = 1
+        # all valid-depth features become points: override the candidate
+        # accept mask (no close/far limit at init, as in the reference)
+        out = T.stereo_points_from_depth(
+            m, jnp.int32(0), depth, self.cam, cfg, bf=cfg.bf
+        )
+        accept = feats.valid & (depth > 0)
+        m, _ = self._add_candidates_init(m, out, accept)
+        self.m = m
+        self.state = OK
+        self.last_kf_slot = 0
+        self.frames_since_kf = 0
+        self.tracked_at_kf = self.n_mp
+        self.vel = None
+        self._record(frame_id, jnp.eye(3, dtype=jnp.float32),
+                     jnp.zeros(3, jnp.float32), self.n_mp)
+
+    def _add_candidates_init(self, m, out, accept):
+        pos_w, desc, normal, dmin, dmax, feat_a, feat_b, _ = out
+        n_new = int(jnp.sum(accept))
+        m = MS.add_map_points(
+            m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
+            jnp.int32(0), accept, jnp.int32(0), feat_a, jnp.int32(0), feat_b,
+        )
+        self.n_mp += n_new
+        return m, n_new

@@ -83,7 +83,7 @@ def project_map_points(
     return uv, level, visible
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg"))
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
 def track_frame(
     m: MS.MapArrays,
     feats: O.FrameFeatures,
@@ -92,9 +92,14 @@ def track_frame(
     local_mp_mask: jnp.ndarray,
     cam: cam_mod.Camera,
     cfg: SlamConfig,
+    feat_uvr: jnp.ndarray | None = None,
+    bf: float = 0.0,
 ):
     """Match local map points into the frame and optimize the pose.
 
+    For stereo frames pass ``feat_uvr`` (right-u per feature, -1 for mono
+    features) and ``bf``; matched features with a valid right coordinate
+    become 3-row stereo observations (reference ``EdgeStereoOnlyPose``).
     Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
     """
     uv_pred, level_pred, visible = project_map_points(
@@ -116,14 +121,20 @@ def track_frame(
     matched = mm.idx >= 0
     f_idx = jnp.clip(mm.idx, 0)
     sigma2 = jnp.asarray(cfg.level_sigma2, uv_pred.dtype)
+    if feat_uvr is not None:
+        uvr = feat_uvr[f_idx]
+        is_st = matched & (uvr >= 0)
+    else:
+        uvr = jnp.full_like(uv_pred[:, 0], -1.0)
+        is_st = jnp.zeros_like(matched)
     obs = PoseObs(
         uv=feats.xy[f_idx],
-        uv_r=jnp.zeros_like(uv_pred[:, 0]),
+        uv_r=uvr,
         inv_sigma2=1.0 / sigma2[feats.level[f_idx]],
-        is_stereo=jnp.zeros_like(matched),
+        is_stereo=is_st,
         valid=matched,
     )
-    res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs)
+    res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs, bf=bf)
 
     # mp id per frame feature (for keyframe binding): invert the matching.
     # Non-kept entries scatter into a scratch slot (NF) that is sliced away.
@@ -228,17 +239,54 @@ def triangulate_between(
     return pos_w, desc, normal, dmin, dmax, jnp.arange(NF, dtype=jnp.int32), idx_b, accept
 
 
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def stereo_points_from_depth(
+    m: MS.MapArrays,
+    slot: jnp.ndarray,
+    depth: jnp.ndarray,      # (NF,) per-feature stereo depth (-1 invalid)
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float,
+):
+    """Candidate map points from stereo depth for unbound features of a KF.
+
+    Equivalent of the stereo branch of ``Tracking::CreateNewKeyFrame``
+    (`src/Tracking.cc:3061+`): unproject close (depth < baseline x ThDepth)
+    unbound features directly.  Returns the same candidate tuple layout as
+    :func:`triangulate_between` (with feat_b == feat_a).
+    """
+    NF = m.kf_xy.shape[1]
+    R, t = m.kf_Rcw[slot], m.kf_tcw[slot]
+    close_th = (bf / cam.fx) * cfg.th_depth
+    free = m.kf_feat_valid[slot] & (m.kf_mp[slot] < 0)
+    accept = free & (depth > 0) & (depth < close_th)
+    rays = cam_mod.unproject(cam, m.kf_xy[slot])
+    xc = rays * depth[:, None]
+    pos_w = jnp.einsum("ji,nj->ni", R, xc - t, precision=_HP)
+    cam_center = -jnp.einsum("ji,j->i", R, t, precision=_HP)
+    vecs = pos_w - cam_center
+    dist = jnp.linalg.norm(vecs, axis=-1)
+    normal = vecs / jnp.maximum(dist, 1e-9)[:, None]
+    sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), pos_w.dtype)
+    lvl = m.kf_level[slot]
+    dmax = dist * sf[lvl]
+    dmin = dmax / sf[cfg.n_levels - 1]
+    feat = jnp.arange(NF, dtype=jnp.int32)
+    return pos_w, m.kf_desc[slot], normal, dmin, dmax, feat, feat, accept
+
+
 # ---------------------------------------------------------------------------
 # local bundle adjustment over the covisibility window
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "window"))
+@partial(jax.jit, static_argnames=("cam", "cfg", "window", "bf"))
 def local_ba(
     m: MS.MapArrays,
     center_slot: jnp.ndarray,
     cam: cam_mod.Camera,
     cfg: SlamConfig,
     window: int = 8,
+    bf: float = 0.0,
 ):
     """Windowed BA: top-`window` covisible KFs of `center_slot` + center.
 
@@ -274,13 +322,14 @@ def local_ba(
     mp_idx = jnp.clip(mp_id, 0)
     valid = valid & m.mp_valid[mp_idx]
     sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
+    uvr = m.kf_uvr[kf_g, f_idx]
     obs = factors.ReprojObs(
         pose_idx=k_local,
         point_idx=mp_idx,
         uv=m.kf_xy[kf_g, f_idx],
-        uv_r=jnp.zeros(K * NF, m.mp_pos.dtype),
+        uv_r=uvr,
         inv_sigma2=1.0 / sigma2[m.kf_level[kf_g, f_idx]],
-        is_stereo=jnp.zeros(K * NF, bool),
+        is_stereo=uvr >= 0,
         valid=valid,
     )
     # points seen in the window are free, everything else fixed
@@ -293,7 +342,7 @@ def local_ba(
         pose_fixed=pose_fixed,
         point_fixed=~seen,
     )
-    res = bundle_adjust(cam, prob, n_iters=5, n_iters_final=5)
+    res = bundle_adjust(cam, prob, bf=bf, n_iters=5, n_iters_final=5)
     m = MS.apply_ba_result(
         m,
         kf_slots, kf_mask,  # fixed entries were not moved by BA

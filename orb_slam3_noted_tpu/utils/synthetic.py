@@ -63,10 +63,15 @@ class BoxRoom:
             + tex[v0 + 1, u0 + 1] * fu * fv
         )
 
-    def render(self, Rwc: np.ndarray, twc: np.ndarray, cam_params, width, height):
+    def render(
+        self, Rwc: np.ndarray, twc: np.ndarray, cam_params, width, height,
+        return_depth: bool = False,
+    ):
         """Render a grayscale image for camera-to-world pose (Rwc, twc).
 
-        cam_params = (fx, fy, cx, cy) pinhole.
+        cam_params = (fx, fy, cx, cy) pinhole.  With ``return_depth``, also
+        returns the per-pixel camera-frame z depth (rays have z_c = 1, so the
+        plane-intersection parameter is the depth).
         """
         fx, fy, cx, cy = cam_params[:4]
         xs = (np.arange(width, dtype=np.float64) - cx) / fx
@@ -95,7 +100,17 @@ class BoxRoom:
             shade = self._sample(tex, hitu, hitv)
             img = np.where(valid, shade, img)
             best_t = np.where(valid, t, best_t)
+        if return_depth:
+            return img.astype(np.float32), best_t.astype(np.float32)
         return img.astype(np.float32)
+
+
+def stereo_pair(room: BoxRoom, Rwc, twc, cam_params, width, height, baseline):
+    """Render a rectified stereo pair: right camera shifted by +baseline in x."""
+    left, depth = room.render(Rwc, twc, cam_params, width, height, return_depth=True)
+    twc_r = twc + Rwc @ np.array([baseline, 0.0, 0.0])
+    right = room.render(Rwc, twc_r, cam_params, width, height)
+    return left, right, depth
 
 
 def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1):
