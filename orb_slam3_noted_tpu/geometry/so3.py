@@ -66,7 +66,9 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     v = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(t) * axis
-    sin_t = 0.5 * jnp.linalg.norm(v, axis=-1)
+    # safe sqrt: linalg.norm has a NaN derivative at exactly zero, which
+    # poisons autodiff of zero-residual pose-graph edges (log at identity)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-30)
     t = jnp.arctan2(sin_t, cos_t)
     small = t < _EPS
     near_pi = t > jnp.pi - 1e-3
@@ -146,11 +148,19 @@ def inverse_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(R: jnp.ndarray) -> jnp.ndarray:
-    """Re-orthonormalize a drifting rotation matrix (det +1) via SVD.
+    """Re-orthonormalize a drifting rotation matrix (quaternion round-trip).
 
-    TPU-native replacement for the reference's quaternion round-trip
-    (`src/ImuTypes.cc` NormalizeRotation): project onto SO(3) with
-    R <- U diag(1, 1, det(U V^T)) V^T.
+    Same scheme as the reference (`src/ImuTypes.cc` NormalizeRotation) and
+    branch-free, so it stays pure vectorized arithmetic — batched SVDs/LU on
+    TPU lower to sequential loops and are orders of magnitude slower.
+    """
+    return from_quat(to_quat(R))
+
+
+def normalize_svd(R: jnp.ndarray) -> jnp.ndarray:
+    """Polar-projection onto SO(3) via SVD (the optimal projection).
+
+    Slower on TPU (batched SVD); used only off the hot path.
     """
     U, _, Vt = jnp.linalg.svd(R)
     det = jnp.linalg.det(U @ Vt)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from orb_slam3_noted_tpu.geometry.linalg3 import solve3
+
 
 def triangulate_dlt(
     ray1: jnp.ndarray,
@@ -62,7 +64,7 @@ def triangulate_dlt(
     Atb = jnp.einsum("...ki,...k->...i", A, b, precision=jax.lax.Precision.HIGHEST)
     # Regularize to keep the solve defined for degenerate (parallel-ray) pairs.
     AtA = AtA + 1e-9 * jnp.eye(3, dtype=A.dtype)
-    return jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
+    return solve3(AtA, Atb)
 
 
 def parallax_cos(

@@ -47,6 +47,11 @@ class SlamConfig:
     nn_ratio_track: float = 0.9
     search_radius_px: float = 15.0
 
+    # --- loop closing ---
+    enable_loop_closing: bool = False
+    vocab_words: int = 1024
+    loop_min_inliers: int = 25
+
     @property
     def level_sigma2(self):
         return tuple(

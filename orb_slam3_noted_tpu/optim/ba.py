@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.geometry.linalg3 import inv3
 from orb_slam3_noted_tpu.models import cameras as cam_mod
 from orb_slam3_noted_tpu.optim import factors
 from orb_slam3_noted_tpu.optim.robust import (
@@ -109,7 +110,7 @@ def _lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber, lam, bf):
         + lam * Hll * eye3
         + (1e-8 + prob.point_fixed.astype(dtype))[:, None, None] * eye3
     )
-    Cinv = jnp.linalg.inv(Hll)  # (M, 3, 3)
+    Cinv = inv3(Hll)  # (M, 3, 3) closed form (LU batches are slow on TPU)
 
     # U[k, a, m, b] = sum of W_o for obs (k, m)
     U = jnp.zeros((K, 6, M, 3), dtype).at[obs.pose_idx, :, obs.point_idx, :].add(W_o)

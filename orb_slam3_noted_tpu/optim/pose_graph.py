@@ -1,0 +1,134 @@
+"""Sim(3) pose-graph (essential graph) optimization.
+
+Equivalent of ``Optimizer::OptimizeEssentialGraph``
+(`/root/reference/src/Optimizer.cc:2083`): after a loop is detected, all
+keyframe poses are re-optimized as Sim(3) vertices against relative-pose
+edges (covisibility + spanning chain + loop edges), absorbing accumulated
+drift — including monocular scale drift — into the graph.
+
+TPU-native design: all edge residuals r_e = log(S_meas * S_i * S_j^{-1}) and
+their 7x14 Jacobians evaluate in one vmapped autodiff batch; the dense
+(7K x 7K) normal system is scatter-assembled and solved whole.  K <= a few
+hundred keyframes keeps this comfortably on one chip (the distributed
+variant shards edges like :mod:`orb_slam3_noted_tpu.parallel.dist_ba`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import sim3
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+class Sim3Edges(NamedTuple):
+    """Static-shape edge table. Measurement: S_ji = S_j * S_i^{-1} at build time."""
+
+    i: jnp.ndarray       # (E,) int32 "from" vertex
+    j: jnp.ndarray       # (E,) int32 "to" vertex
+    R: jnp.ndarray       # (E, 3, 3) measured relative rotation (j <- i)
+    t: jnp.ndarray       # (E, 3)
+    s: jnp.ndarray       # (E,)
+    weight: jnp.ndarray  # (E,) information scale
+    valid: jnp.ndarray   # (E,) bool
+
+
+def _edge_residual(Sm, Si, Sj):
+    """r = log(S_meas * S_i * S_j^{-1}) (7,)."""
+    return sim3.log(sim3.compose(Sm, sim3.compose(Si, sim3.inverse(Sj))))
+
+
+def _residual_tangent(Sm, Si, Sj, di, dj):
+    Si2 = sim3.compose(sim3.exp(di), Si)
+    Sj2 = sim3.compose(sim3.exp(dj), Sj)
+    return _edge_residual(Sm, Si2, Sj2)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_sim3(
+    R: jnp.ndarray,       # (K, 3, 3) S_iw rotations (world -> kf)
+    t: jnp.ndarray,       # (K, 3)
+    s: jnp.ndarray,       # (K,)
+    edges: Sim3Edges,
+    fixed: jnp.ndarray,   # (K,) bool (e.g. the loop keyframe / map origin)
+    n_iters: int = 12,
+    lam: float = 1e-6,
+):
+    """Damped Gauss-Newton over the Sim3 pose graph. Returns (R, t, s, cost)."""
+    K = R.shape[0]
+    dtype = t.dtype
+    z7 = jnp.zeros(7, dtype)
+
+    def eval_edges(R, t, s):
+        Sm = (edges.R, edges.t, edges.s)
+        Si = (R[edges.i], t[edges.i], s[edges.i])
+        Sj = (R[edges.j], t[edges.j], s[edges.j])
+
+        r = jax.vmap(_edge_residual)(Sm, Si, Sj)  # (E, 7)
+
+        def jac(sm_r, sm_t, sm_s, si_r, si_t, si_s, sj_r, sj_t, sj_s):
+            f = lambda di, dj: _residual_tangent(
+                (sm_r, sm_t, sm_s), (si_r, si_t, si_s), (sj_r, sj_t, sj_s), di, dj
+            )
+            Ji = jax.jacfwd(f, argnums=0)(z7, z7)
+            Jj = jax.jacfwd(f, argnums=1)(z7, z7)
+            return Ji, Jj
+
+        Ji, Jj = jax.vmap(jac)(
+            edges.R, edges.t, edges.s,
+            R[edges.i], t[edges.i], s[edges.i],
+            R[edges.j], t[edges.j], s[edges.j],
+        )  # (E, 7, 7) each
+        w = jnp.where(edges.valid, edges.weight, 0.0)
+        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return r, Ji, Jj, w, cost
+
+    def gn_step(carry, _):
+        R, t, s, lam_c = carry
+        r, Ji, Jj, w, cost_old = eval_edges(R, t, s)
+        wJi = w[:, None, None] * Ji
+        wJj = w[:, None, None] * Jj
+        Hii = jnp.einsum("eai,eaj->eij", wJi, Ji, precision=_HP)
+        Hjj = jnp.einsum("eai,eaj->eij", wJj, Jj, precision=_HP)
+        Hij = jnp.einsum("eai,eaj->eij", wJi, Jj, precision=_HP)
+        gi = jnp.einsum("eai,ea->ei", Ji, w[:, None] * r, precision=_HP)
+        gj = jnp.einsum("eai,ea->ei", Jj, w[:, None] * r, precision=_HP)
+
+        H = jnp.zeros((K, 7, K, 7), dtype)
+        H = H.at[edges.i, :, edges.i, :].add(Hii)
+        H = H.at[edges.j, :, edges.j, :].add(Hjj)
+        H = H.at[edges.i, :, edges.j, :].add(Hij)
+        H = H.at[edges.j, :, edges.i, :].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((K, 7), dtype)
+        g = g.at[edges.i].add(gi)
+        g = g.at[edges.j].add(gj)
+
+        # gauge + free-vertex damping on the block diagonal
+        bump = jnp.where(fixed, 1e12, lam_c + 1e-8)
+        H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            bump[:, None, None] * jnp.eye(7, dtype=dtype)
+        )
+        g = jnp.where(fixed[:, None], 0.0, g)
+
+        d = jnp.linalg.solve(H.reshape(K * 7, K * 7), -g.reshape(K * 7)).reshape(K, 7)
+        d = jnp.where(fixed[:, None], 0.0, d)
+        Rn, tn, sn = jax.vmap(lambda dd, RR, tt, ss: sim3.compose(sim3.exp(dd), (RR, tt, ss)))(
+            d, R, t, s
+        )
+        _, _, _, _, cost_new = eval_edges(Rn, tn, sn)
+        better = cost_new < cost_old
+        R = jnp.where(better, Rn, R)
+        t = jnp.where(better, tn, t)
+        s = jnp.where(better, sn, s)
+        lam_c = jnp.where(better, lam_c * 0.5, lam_c * 10.0)
+        return (R, t, s, lam_c), cost_new
+
+    (R, t, s, _), costs = jax.lax.scan(
+        gn_step, (R, t, s, jnp.asarray(lam, dtype)), None, length=n_iters
+    )
+    return R, t, s, costs[-1]

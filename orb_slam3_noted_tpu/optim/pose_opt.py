@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.geometry.linalg3 import solve6
 from orb_slam3_noted_tpu.models import cameras as cam_mod
 from orb_slam3_noted_tpu.optim import factors
 from orb_slam3_noted_tpu.optim.robust import (
@@ -81,7 +82,7 @@ def _one_round(cam, Rcw, tcw, points, obs, active, use_huber, bf):
         g = jnp.einsum("oai,oa->i", Jp, w[:, None] * r, precision=_HP)
         Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=r.dtype)
         # residual r = obs - h(x) and J = dr/dx  =>  normal equations H dx = -g
-        dx = jnp.linalg.solve(Hd, -g)
+        dx = solve6(Hd, -g)
         R_new, t_new = se3.compose(se3.exp(dx), (Rcw, tcw))
         R_new = so3.normalize(R_new)
         _, _, _, _, _, cost_new = _evaluate(

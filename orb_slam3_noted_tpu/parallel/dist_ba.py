@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.geometry.linalg3 import inv3
 from orb_slam3_noted_tpu.models import cameras as cam_mod
 from orb_slam3_noted_tpu.optim import factors
 from orb_slam3_noted_tpu.optim.robust import CHI2_MONO, CHI2_STEREO, huber_weight
@@ -117,7 +118,7 @@ def distributed_lm_step(
         eye3 = jnp.eye(3, dtype=dtype)
         Hpp = Hpp + lam * Hpp * eye6 + (1e-8 + p_fix.astype(dtype))[:, None, None] * eye6
         Hll = Hll + lam * Hll * eye3 + (1e-8 + l_fix.astype(dtype))[:, None, None] * eye3
-        Cinv = jnp.linalg.inv(Hll)
+        Cinv = inv3(Hll)
         V = jnp.einsum("kamb,mbc->kamc", U, Cinv, precision=_HP)
         S = -jnp.einsum("kamc,jdmc->kajd", V, U, precision=_HP)
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)

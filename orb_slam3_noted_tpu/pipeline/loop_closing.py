@@ -1,0 +1,210 @@
+"""Loop detection and correction.
+
+Functional equivalent of the reference's LoopClosing thread
+(`/root/reference/src/LoopClosing.cc`): BoW candidate retrieval
+(``NewDetectCommonRegions``/``DetectNBestCandidates``), Sim3 geometric
+verification (``DetectCommonRegionsFromBoW`` + Sim3Solver), and loop
+correction (``CorrectLoop``): propagate the corrected Sim3 through the
+keyframe graph with a pose-graph optimization and re-anchor map points via
+their reference keyframes.  Runs synchronously after keyframe insertion
+(the async pipelined version is a later phase); GBA after correction is
+optional.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import sim3
+from orb_slam3_noted_tpu.geometry.sim3_solver import sim3_ransac
+from orb_slam3_noted_tpu.ops import matching as M
+from orb_slam3_noted_tpu.optim.pose_graph import Sim3Edges, optimize_pose_graph_sim3
+from orb_slam3_noted_tpu.place.database import KeyFrameDatabase
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _matched_point_pairs(m, slot_cur, slot_cand):
+    """3D-3D pairs from descriptor matches between two keyframes' map points.
+
+    Points are expressed in each keyframe's own camera frame (as the
+    reference's Sim3Solver does). Returns (x_cand, x_cur, valid) of length NF.
+    """
+    d = M.hamming_matrix(m.kf_desc[slot_cur], m.kf_desc[slot_cand])
+    has_mp_cur = m.kf_mp[slot_cur] >= 0
+    has_mp_cand = m.kf_mp[slot_cand] >= 0
+    gate = (
+        has_mp_cur[:, None]
+        & has_mp_cand[None, :]
+        & m.kf_feat_valid[slot_cur][:, None]
+        & m.kf_feat_valid[slot_cand][None, :]
+    )
+    masked = jnp.where(gate, d, M.BIG)
+    best = jnp.min(masked, axis=1)
+    idx = jnp.argmin(masked, axis=1)
+    # mutual + absolute threshold
+    best_back = jnp.argmin(masked, axis=0)
+    ok = (best <= M.TH_LOW) & (best_back[idx] == jnp.arange(d.shape[0]))
+
+    mp_cur = jnp.clip(m.kf_mp[slot_cur], 0)
+    mp_cand = jnp.clip(m.kf_mp[slot_cand][idx], 0)
+    Xw_cur = m.mp_pos[mp_cur]
+    Xw_cand = m.mp_pos[mp_cand]
+    x_cur = jnp.einsum("ij,nj->ni", m.kf_Rcw[slot_cur], Xw_cur, precision=_HP) + m.kf_tcw[slot_cur]
+    x_cand = (
+        jnp.einsum("ij,nj->ni", m.kf_Rcw[slot_cand], Xw_cand, precision=_HP)
+        + m.kf_tcw[slot_cand]
+    )
+    ok = ok & m.mp_valid[mp_cur] & m.mp_valid[mp_cand]
+    return x_cand, x_cur, ok
+
+
+@jax.jit
+def _apply_correction(m, R_new, t_new, s_new):
+    """Write corrected Sim3 keyframe poses and re-anchor map points.
+
+    KF pose: Tcw = [R | t/s] (the reference's convention after essential
+    graph optimization).  Map points: x_new = S_new_ref^{-1}(S_old_ref(x)),
+    via each point's reference keyframe (reference ``CorrectLoop``
+    `src/LoopClosing.cc:941-1014`).
+    """
+    ref = m.mp_ref_kf
+    R_old = m.kf_Rcw[ref]
+    t_old = m.kf_tcw[ref]
+    # old poses are SE3 (s=1)
+    x_ref = jnp.einsum("nij,nj->ni", R_old, m.mp_pos, precision=_HP) + t_old
+    # invert new Sim3: x_w = (1/s) R^T (x_ref - t)
+    Rn = R_new[ref]
+    tn = t_new[ref]
+    sn = s_new[ref]
+    x_new = jnp.einsum("nji,nj->ni", Rn, x_ref - tn, precision=_HP) / sn[:, None]
+    mp_pos = jnp.where(m.mp_valid[:, None], x_new, m.mp_pos)
+    kf_tcw_new = t_new / s_new[:, None]
+    return m._replace(
+        kf_Rcw=jnp.where(m.kf_valid[:, None, None], R_new, m.kf_Rcw),
+        kf_tcw=jnp.where(m.kf_valid[:, None], kf_tcw_new, m.kf_tcw),
+        mp_pos=mp_pos,
+    )
+
+
+class LoopCloser:
+    """Host-side loop-closing stage over the shared map snapshot."""
+
+    def __init__(
+        self,
+        vocab: np.ndarray,
+        max_keyframes: int,
+        min_inliers: int = 25,
+        covis_edge_weight: int = 30,
+        exclude_recent: int = 10,
+    ):
+        self.db = KeyFrameDatabase(vocab, max_keyframes)
+        self.min_inliers = min_inliers
+        self.covis_edge_weight = covis_edge_weight
+        self.exclude_recent = exclude_recent
+        self.loops_closed = 0
+        self.last_loop_kf = -1
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, slam, slot: int):
+        """Detect + correct a loop for the newly inserted keyframe `slot`.
+
+        slam: the SLAM system (provides .m map arrays, .n_kf). Returns True
+        if a loop was closed (slam.m replaced with the corrected snapshot).
+        """
+        m = slam.m
+        word, bow = self.db.compute_bow(
+            m.kf_desc[slot], m.kf_feat_valid[slot]
+        )
+        # exclusion: covisible KFs + recent window (reference excludes
+        # covisibles and requires temporal gap; src/KeyFrameDatabase.cc:611)
+        from orb_slam3_noted_tpu.pipeline import map_state as MS
+
+        covis = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
+        exclude = covis > 0
+        lo = max(0, slot - self.exclude_recent)
+        exclude[lo : slot + 1] = True
+        slots, scores = self.db.detect_candidates(bow, exclude, n_best=3)
+        self.db.add(slot, bow)
+        if not slots:
+            return False
+
+        for cand in slots:
+            x_cand, x_cur, ok = _matched_point_pairs(
+                m, jnp.int32(slot), jnp.int32(cand)
+            )
+            if int(jnp.sum(ok)) < self.min_inliers:
+                continue
+            res = sim3_ransac(
+                x_cand, x_cur, ok, jax.random.PRNGKey(slot),
+                fix_scale=False,
+            )
+            if not bool(res.success) or int(res.n_inliers) < self.min_inliers:
+                continue
+            self._correct(slam, slot, cand, res)
+            self.loops_closed += 1
+            self.last_loop_kf = slot
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _correct(self, slam, slot: int, cand: int, res):
+        m = slam.m
+        KF = m.kf_Rcw.shape[0]
+        kf_valid = np.asarray(m.kf_valid)
+        n_kf = slam.n_kf
+
+        # --- build edge list (numpy host side) ---
+        obs = np.asarray(m.obs_mat).astype(np.float32)
+        covis = obs @ obs.T  # (KF, KF) shared map point counts
+        ei, ej = [], []
+        # sequential chain (spanning-tree stand-in)
+        for k in range(n_kf - 1):
+            if kf_valid[k] and kf_valid[k + 1]:
+                ei.append(k); ej.append(k + 1)
+        # covisibility edges above threshold
+        ii, jj = np.nonzero(np.triu(covis, 2) >= self.covis_edge_weight)
+        for a, b in zip(ii, jj):
+            if kf_valid[a] and kf_valid[b] and a < n_kf and b < n_kf:
+                ei.append(int(a)); ej.append(int(b))
+        n_real = len(ei)
+
+        # measurements from CURRENT (drifted) estimates: S_ji = T_j * T_i^-1
+        R_all = m.kf_Rcw
+        t_all = m.kf_tcw
+        s_all = jnp.ones(KF, m.kf_tcw.dtype)
+        i_arr = jnp.asarray(ei + [cand], jnp.int32)
+        j_arr = jnp.asarray(ej + [slot], jnp.int32)
+
+        Si = (R_all[i_arr[:-1]], t_all[i_arr[:-1]], s_all[i_arr[:-1]])
+        Sj = (R_all[j_arr[:-1]], t_all[j_arr[:-1]], s_all[j_arr[:-1]])
+        Rr, tr, sr = jax.vmap(lambda a, b: sim3.compose(b, sim3.inverse(a)))(Si, Sj)
+
+        # loop edge: S_cur_cand from the Sim3 solver (maps candidate-frame
+        # points into the current frame): S_cur_w_corrected = S_loop o T_cand_w
+        eR = jnp.concatenate([Rr, res.R[None]])
+        et = jnp.concatenate([tr, res.t[None]])
+        es = jnp.concatenate([sr, res.s[None]])
+        weight = jnp.ones(n_real + 1, jnp.float32).at[-1].set(float(n_real) / 4 + 1.0)
+        edges = Sim3Edges(
+            i=i_arr, j=j_arr, R=eR, t=et, s=es,
+            weight=weight,
+            valid=jnp.ones(n_real + 1, bool),
+        )
+        fixed = jnp.zeros(KF, bool).at[cand].set(True)
+        # freeze invalid slots too (no edges touch them, but keep H regular)
+        fixed = fixed | ~jnp.asarray(kf_valid)
+
+        R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
+            R_all, t_all, s_all, edges, fixed
+        )
+        slam.m = _apply_correction(m, R_new, t_new, s_new)
+        # tracking state continues from the corrected pose of the current KF
+        slam.last_Rcw = slam.m.kf_Rcw[slot]
+        slam.last_tcw = slam.m.kf_tcw[slot]
+        slam.vel = None

@@ -62,23 +62,62 @@ class MonoSLAM:
         self.frames_since_kf = 0
         self.tracked_at_kf = 0
         self.trajectory: list[FrameRecord] = []
+        self.loop_closer = None  # attached lazily when loop closing enabled
 
     # ------------------------------------------------------------------
     def process(self, img, frame_id: int):
-        """Feed one grayscale image (H, W) float32 [0, 255]."""
-        feats = O.extract_orb(
-            jnp.asarray(img, jnp.float32),
-            n_features=self.cfg.n_features,
-            n_levels=self.cfg.n_levels,
-            scale_factor=self.cfg.scale_factor,
-            th_high=self.cfg.ini_th_fast,
-            th_low=self.cfg.min_th_fast,
-        )
+        """Feed one grayscale image (H, W), values in [0, 255]."""
         if self.state == NOT_INITIALIZED:
+            feats = O.extract_orb(
+                jnp.asarray(img, jnp.float32),
+                n_features=self.cfg.n_features,
+                n_levels=self.cfg.n_levels,
+                scale_factor=self.cfg.scale_factor,
+                th_high=self.cfg.ini_th_fast,
+                th_low=self.cfg.min_th_fast,
+            )
             self._try_initialize(feats, frame_id)
         else:
-            self._track(feats, frame_id)
+            # fused hot path: uint8 upload + one device dispatch
+            img_u8 = jnp.asarray(np.asarray(img).astype(np.uint8))
+            self._track_fused(img_u8, frame_id)
         return self.trajectory[-1] if self.trajectory else None
+
+    # ------------------------------------------------------------------
+    def _track_fused(self, img_u8, frame_id):
+        cfg = self.cfg
+        if self.vel is not None:
+            Rp, tp = se3.compose(self.vel, (self.last_Rcw, self.last_tcw))
+        else:
+            Rp, tp = self.last_Rcw, self.last_tcw
+        feats, Rcw, tcw, n_inl, mp_of_feat = T.track_step(
+            self.m, img_u8, jnp.int32(self.last_kf_slot), Rp, tp,
+            self.cam, cfg, bf=0.0,
+        )
+        self._after_track(feats, frame_id, Rp, tp, Rcw, tcw, int(n_inl),
+                          mp_of_feat, uvr=None, depth=None)
+
+    # ------------------------------------------------------------------
+    def _after_track(self, feats, frame_id, Rp, tp, Rcw, tcw, n_inl,
+                     mp_of_feat, uvr=None, depth=None):
+        cfg = self.cfg
+        if n_inl < cfg.min_tracked_points:
+            self.state = RECENTLY_LOST
+            self.vel = None
+            self._record(frame_id, Rp, tp, n_inl)
+            self.frames_since_kf += 1
+            return
+        self.state = OK
+        self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
+        self.frames_since_kf += 1
+        self._record(frame_id, Rcw, tcw, n_inl)
+        need_kf = (
+            self.frames_since_kf >= cfg.kf_max_interval
+            or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
+        ) and self.n_kf < cfg.max_keyframes - 1
+        if need_kf:
+            self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                                  uvr=uvr, depth=depth)
 
     # ------------------------------------------------------------------
     def _record(self, frame_id, Rcw, tcw, n_inl):
@@ -190,28 +229,8 @@ class MonoSLAM:
             self.m, feats, Rp, tp, mp_mask, self.cam, cfg,
             feat_uvr=uvr, bf=cfg.bf,
         )
-        n_inl = int(n_inl)
-
-        if n_inl < cfg.min_tracked_points:
-            # dead-reckon on the motion model (reference RECENTLY_LOST)
-            self.state = RECENTLY_LOST
-            self.vel = None
-            self._record(frame_id, Rp, tp, n_inl)
-            self.frames_since_kf += 1
-            return
-
-        self.state = OK
-        self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
-        self.frames_since_kf += 1
-        self._record(frame_id, Rcw, tcw, n_inl)
-
-        need_kf = (
-            self.frames_since_kf >= cfg.kf_max_interval
-            or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
-        ) and self.n_kf < cfg.max_keyframes - 1
-        if need_kf:
-            self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
-                                  uvr=uvr, depth=depth)
+        self._after_track(feats, frame_id, Rp, tp, Rcw, tcw, int(n_inl),
+                          mp_of_feat, uvr=uvr, depth=depth)
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
@@ -252,6 +271,28 @@ class MonoSLAM:
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
+
+        if cfg.enable_loop_closing:
+            self._maybe_close_loop(slot, feats)
+
+    # ------------------------------------------------------------------
+    def _maybe_close_loop(self, slot, feats):
+        """Lazy loop-closer construction (vocabulary trained on first KF)."""
+        from orb_slam3_noted_tpu.pipeline.loop_closing import LoopCloser
+        from orb_slam3_noted_tpu.place import train_vocabulary
+
+        if self.loop_closer is None:
+            desc = np.asarray(feats.desc)[np.asarray(feats.valid)]
+            vocab = train_vocabulary(
+                desc, n_words=min(self.cfg.vocab_words, max(len(desc) // 2, 16)),
+                n_iters=6,
+            )
+            self.loop_closer = LoopCloser(
+                vocab, self.cfg.max_keyframes,
+                min_inliers=self.cfg.loop_min_inliers,
+            )
+        if self.loop_closer.on_keyframe(self, slot):
+            self.state = OK
 
     # ------------------------------------------------------------------
     def _add_candidates(self, m, slot, out, kf_b=None):

@@ -240,6 +240,40 @@ def triangulate_between(
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def track_step(
+    m: MS.MapArrays,
+    img_u8: jnp.ndarray,
+    last_kf_slot: jnp.ndarray,
+    Rcw_pred: jnp.ndarray,
+    tcw_pred: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float = 0.0,
+):
+    """Fused per-frame step: ONE device dispatch for the tracking hot path.
+
+    uint8 image in (cheap host->device transfer over thin links), then
+    extract + local-map visibility + projection matching + pose optimization
+    without host round-trips.  Returns (feats, Rcw, tcw, n_inliers,
+    mp_of_feat); only n_inliers needs a host sync for the state machine.
+    """
+    img = img_u8.astype(jnp.float32)
+    feats = O.extract_orb(
+        img,
+        n_features=cfg.n_features,
+        n_levels=cfg.n_levels,
+        scale_factor=cfg.scale_factor,
+        th_high=cfg.ini_th_fast,
+        th_low=cfg.min_th_fast,
+    )
+    mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
+    Rcw, tcw, n_inl, mp_of_feat = track_frame(
+        m, feats, Rcw_pred, tcw_pred, mp_mask, cam, cfg, feat_uvr=None, bf=bf
+    )
+    return feats, Rcw, tcw, n_inl, mp_of_feat
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
 def stereo_points_from_depth(
     m: MS.MapArrays,
     slot: jnp.ndarray,
