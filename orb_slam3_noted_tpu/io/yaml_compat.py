@@ -1,0 +1,121 @@
+"""Loader for the reference's per-sequence YAML settings files.
+
+Parses the exact schema consumed by ``Tracking::Parse{Cam,ORB,IMU}ParamFile``
+(`/root/reference/src/Tracking.cc:490,1022,1106`; examples:
+`Examples/Stereo-Inertial/EuRoC.yaml`, `TUM_512.yaml`) into a
+:class:`SlamConfig` + IMU calibration, so existing dataset configs work
+unchanged.  Uses ``cv2.FileStorage`` — the same parser as the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from orb_slam3_noted_tpu.io.config import SlamConfig
+from orb_slam3_noted_tpu.models.cameras import Camera, KANNALA_BRANDT8, PINHOLE
+
+
+def _read(fs, key, default=None):
+    node = fs.getNode(key)
+    if node.empty():
+        return default
+    if node.isString():
+        return node.string()
+    if node.isReal() or node.isInt():
+        return node.real()
+    return node.mat()
+
+
+def load_settings(path: str):
+    """Parse a reference YAML file.
+
+    Returns (SlamConfig, imu_params | None) where imu_params is a dict with
+    Tbc (4, 4), noise/walk densities and frequency when the file has an IMU
+    section.
+    """
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    if not fs.isOpened():
+        raise FileNotFoundError(path)
+
+    cam_type = _read(fs, "Camera.type", "PinHole")
+    fx = float(_read(fs, "Camera.fx"))
+    fy = float(_read(fs, "Camera.fy"))
+    cx = float(_read(fs, "Camera.cx"))
+    cy = float(_read(fs, "Camera.cy"))
+
+    if cam_type == "KannalaBrandt8":
+        ks = [float(_read(fs, f"Camera.k{i+1}", 0.0)) for i in range(4)]
+        camera = Camera(KANNALA_BRANDT8, (fx, fy, cx, cy, *ks))
+        dist = ()
+    else:
+        camera = Camera(PINHOLE, (fx, fy, cx, cy))
+        d = [
+            float(_read(fs, "Camera.k1", 0.0) or 0.0),
+            float(_read(fs, "Camera.k2", 0.0) or 0.0),
+            float(_read(fs, "Camera.p1", 0.0) or 0.0),
+            float(_read(fs, "Camera.p2", 0.0) or 0.0),
+            float(_read(fs, "Camera.k3", 0.0) or 0.0),
+        ]
+        dist = tuple(d) if any(abs(x) > 0 for x in d) else ()
+
+    cfg = SlamConfig(
+        camera=camera,
+        width=int(_read(fs, "Camera.width", 752)),
+        height=int(_read(fs, "Camera.height", 480)),
+        fps=float(_read(fs, "Camera.fps", 30.0)),
+        bf=float(_read(fs, "Camera.bf", 0.0) or 0.0),
+        th_depth=float(_read(fs, "ThDepth", 35.0) or 35.0),
+        dist_coeffs=dist,
+        n_features=int(_read(fs, "ORBextractor.nFeatures", 1200)),
+        n_levels=int(_read(fs, "ORBextractor.nLevels", 8)),
+        scale_factor=float(_read(fs, "ORBextractor.scaleFactor", 1.2)),
+        ini_th_fast=float(_read(fs, "ORBextractor.iniThFAST", 20)),
+        min_th_fast=float(_read(fs, "ORBextractor.minThFAST", 7)),
+    )
+
+    imu = None
+    tbc = _read(fs, "Tbc")
+    if tbc is not None:
+        freq = float(_read(fs, "IMU.Frequency", 200.0))
+        sf = np.sqrt(freq)
+        ng = float(_read(fs, "IMU.NoiseGyro"))
+        na = float(_read(fs, "IMU.NoiseAcc"))
+        ngw = float(_read(fs, "IMU.GyroWalk"))
+        naw = float(_read(fs, "IMU.AccWalk"))
+        # same discretization as the reference (src/Tracking.cc:1106+):
+        # noise density * sqrt(freq); walk density / sqrt(freq)
+        imu = dict(
+            Tbc=np.asarray(tbc, np.float64).reshape(4, 4),
+            freq=freq,
+            noise_gyro=ng * sf,
+            noise_acc=na * sf,
+            walk_gyro=ngw / sf,
+            walk_acc=naw / sf,
+        )
+    fs.release()
+    return cfg, imu
+
+
+def load_stereo_rectification(path: str):
+    """LEFT./RIGHT. K, D, R, P blocks used by the stereo example drivers
+    (`Examples/Stereo-Inertial/stereo_inertial_euroc.cc:124-151`)."""
+    import cv2
+
+    fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+    out = {}
+    for side in ("LEFT", "RIGHT"):
+        blk = {}
+        for key in ("K", "D", "R", "P"):
+            v = _read(fs, f"{side}.{key}")
+            if v is not None:
+                blk[key] = np.asarray(v, np.float64)
+        if blk:
+            blk["height"] = int(_read(fs, f"{side}.height", 0))
+            blk["width"] = int(_read(fs, f"{side}.width", 0))
+            out[side] = blk
+    fs.release()
+    return out or None

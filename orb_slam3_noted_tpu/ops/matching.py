@@ -68,6 +68,21 @@ class Matches(NamedTuple):
     dist: jnp.ndarray  # (Na,) int32 Hamming distance (BIG if unmatched)
 
 
+def _best_two(masked: jnp.ndarray):
+    """(best, second, argbest) along the last axis without a sort.
+
+    ``lax.top_k`` lowers to a full sort on TPU — two min/argmin passes are
+    far cheaper on the VPU for wide match matrices.
+    """
+    best = jnp.min(masked, axis=-1)
+    idx = jnp.argmin(masked, axis=-1).astype(jnp.int32)
+    n = masked.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, masked.ndim - 1)
+    masked2 = jnp.where(cols == idx[..., None], BIG, masked)
+    second = jnp.min(masked2, axis=-1)
+    return best, second, idx
+
+
 def _rotation_consistency(ang_a, ang_b, idx, matched):
     """Keep only matches whose angle difference falls in the 3 modal bins."""
     d = ang_a - ang_b[jnp.clip(idx, 0)]
@@ -96,12 +111,7 @@ def match_nn(
 ) -> Matches:
     """Gated nearest-neighbour matching on a precomputed distance matrix."""
     masked = jnp.where(valid_a[:, None] & valid_b[None, :], dist, BIG)
-    # best and second best along B
-    neg = -masked
-    top2, top2_idx = jax.lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    idx = top2_idx[:, 0]
+    best, second, idx = _best_two(masked)
     ok = (best <= max_dist) & valid_a
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
@@ -138,7 +148,9 @@ def search_by_projection(
 
     Returns (Nq,) Matches into the frame features.
     """
-    d = hamming_matrix(desc_q, feat_desc)  # (Nq, Nf)
+    # MXU bit-matmul: for map-size x frame-size matrices this beats the
+    # popcount path by an order of magnitude
+    d = hamming_matrix_mxu(unpack_bits(desc_q), unpack_bits(feat_desc))  # (Nq, Nf)
     du = uv_pred[:, None, 0] - feat_xy[None, :, 0]
     dv = uv_pred[:, None, 1] - feat_xy[None, :, 1]
     inside = (du * du + dv * dv) <= (radius[:, None] ** 2)
@@ -147,11 +159,7 @@ def search_by_projection(
     )
     gate = inside & lvl_ok & feat_valid[None, :] & valid_q[:, None]
     masked = jnp.where(gate, d, BIG)
-    neg = -masked
-    top2, top2_idx = jax.lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    idx = top2_idx[:, 0]
+    best, second, idx = _best_two(masked)
     ok = (best <= max_dist) & valid_q
     if ratio < 1.0:
         ok = ok & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))

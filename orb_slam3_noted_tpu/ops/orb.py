@@ -28,6 +28,7 @@ import numpy as np
 
 from orb_slam3_noted_tpu.ops import fast as fast_ops
 from orb_slam3_noted_tpu.ops import image as image_ops
+from orb_slam3_noted_tpu.ops import pallas_kernels as pk
 from orb_slam3_noted_tpu.ops.orb_pattern import BIT_PATTERN_31
 
 HALF_PATCH = 15
@@ -178,12 +179,12 @@ def extract_orb(
     for lvl, (level_img, budget) in enumerate(zip(levels, budgets)):
         if budget <= 0:
             continue
-        score = fast_ops.fast_score(level_img)
+        score = pk.fast_score(level_img)
         kps = fast_ops.detect_level(
             score, n_out=budget, th_high=th_high, th_low=th_low, border=16
         )
         ang = ic_angles(level_img, kps.xy)
-        blur = image_ops.gaussian_blur(level_img, 7, 2.0)
+        blur = pk.gaussian_blur7(level_img, 2.0)
         desc = brief_descriptors(blur, kps.xy, ang)
         # Exact level->0 mapping: the resize uses half-pixel centers and the
         # ACTUAL per-axis ratio W0/Wl (rounded level sizes drift from the

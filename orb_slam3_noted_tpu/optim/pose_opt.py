@@ -28,8 +28,13 @@ from orb_slam3_noted_tpu.optim.robust import (
     huber_weight,
 )
 
+# The reference runs 4 rounds x 10 LM iterations; Gauss-Newton on the
+# per-frame pose fit converges in <5 iterations, and on TPU the sequential
+# iteration chain is latency-bound — so we run 4 rounds x 5 damped-GN
+# iterations with accept-always inside a round and a per-round safety check
+# (revert if the round increased the robust cost).
 N_ROUNDS = 4
-N_ITERS = 10
+N_ITERS = 5
 _HP = jax.lax.Precision.HIGHEST
 
 
@@ -72,31 +77,29 @@ def _evaluate(cam, Rcw, tcw, points, obs: PoseObs, active, use_huber, bf):
 
 
 def _one_round(cam, Rcw, tcw, points, obs, active, use_huber, bf):
-    def lm_iter(_, state):
-        Rcw, tcw, lam = state
-        r, Jp, _, w, _, cost_old = _evaluate(
+    Rcw0, tcw0 = Rcw, tcw
+    _, _, _, _, _, cost0 = _evaluate(cam, Rcw, tcw, points, obs, active, use_huber, bf)
+
+    def gn_iter(_, state):
+        Rcw, tcw = state
+        r, Jp, _, w, _, _ = _evaluate(
             cam, Rcw, tcw, points, obs, active, use_huber, bf
         )
         H = jnp.einsum("oai,oa,oaj->ij", Jp, jnp.broadcast_to(w[:, None], r.shape), Jp,
                        precision=_HP)
         g = jnp.einsum("oai,oa->i", Jp, w[:, None] * r, precision=_HP)
-        Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=r.dtype)
+        Hd = H + 1e-3 * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6, dtype=r.dtype)
         # residual r = obs - h(x) and J = dr/dx  =>  normal equations H dx = -g
         dx = solve6(Hd, -g)
         R_new, t_new = se3.compose(se3.exp(dx), (Rcw, tcw))
-        R_new = so3.normalize(R_new)
-        _, _, _, _, _, cost_new = _evaluate(
-            cam, R_new, t_new, points, obs, active, use_huber, bf
-        )
-        better = cost_new < cost_old
-        Rcw = jnp.where(better, R_new, Rcw)
-        tcw = jnp.where(better, t_new, tcw)
-        lam = jnp.where(better, lam * 0.5, lam * 4.0)
-        return (Rcw, tcw, lam)
+        return (so3.normalize(R_new), t_new)
 
-    Rcw, tcw, _ = jax.lax.fori_loop(
-        0, N_ITERS, lm_iter, (Rcw, tcw, jnp.asarray(1e-3, tcw.dtype))
-    )
+    Rcw, tcw = jax.lax.fori_loop(0, N_ITERS, gn_iter, (Rcw, tcw))
+    # per-round safety: revert if the damped-GN round diverged
+    _, _, _, _, _, cost1 = _evaluate(cam, Rcw, tcw, points, obs, active, use_huber, bf)
+    better = cost1 < cost0
+    Rcw = jnp.where(better, Rcw, Rcw0)
+    tcw = jnp.where(better, tcw, tcw0)
     # Re-classify outliers over ALL valid observations (reference gives
     # rejected edges a chance to return each round).
     _, _, chi2, _, ok, _ = _evaluate(
