@@ -33,16 +33,26 @@ def main():
     poses = orbit_trajectory(n_frames, forward=0.025)
     frames = [room.render(R, t, cam.params, W, H) for R, t in poses]
 
-    # warm-up lap: triggers every compile (extract, track, triangulate, BA)
-    slam = MonoSLAM(cfg)
-    for i, img in enumerate(frames):
-        slam.process(img, i)
+    B = 8  # frames per device dispatch (throughput mode)
 
-    # timed lap on a fresh system (same shapes -> fully cached executables)
-    slam = MonoSLAM(cfg)
+    def run_lap():
+        slam = MonoSLAM(cfg)
+        i = 0
+        while i < n_frames and slam.state == "NOT_INITIALIZED":
+            slam.process(frames[i], i)
+            i += 1
+        while i < n_frames:
+            j = min(i + B, n_frames)
+            slam.process_batch(frames[i:j], list(range(i, j)))
+            i = j
+        return slam
+
+    # warm-up lap: triggers every compile (extract, track, triangulate, BA)
+    run_lap()
+
+    # timed lap (same shapes -> fully cached executables)
     t0 = time.time()
-    for i, img in enumerate(frames):
-        slam.process(img, i)
+    slam = run_lap()
     wall = time.time() - t0
 
     ok = sum(1 for r in slam.trajectory if r.state == "OK")

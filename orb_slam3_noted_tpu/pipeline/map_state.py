@@ -219,6 +219,69 @@ def add_map_points(
 
 
 @jax.jit
+def cull_map_points(m: MapArrays, current_kf: jnp.ndarray) -> MapArrays:
+    """Remove unreliable recent map points.
+
+    Equivalent of ``LocalMapping::MapPointCulling`` (`src/LocalMapping.cc:358`):
+    a point is culled if its found/visible ratio is below 0.25, or if it is
+    2+ keyframes old but still observed by fewer than 3 keyframes.
+    """
+    ratio_bad = m.mp_found.astype(jnp.float32) < 0.25 * m.mp_visible.astype(
+        jnp.float32
+    )
+    age = current_kf - m.mp_ref_kf
+    # the reference only audits RECENTLY added points (mlpRecentAddedMapPoints,
+    # dropped from the audit list after 3 keyframes); older points are settled
+    recent = age <= 3
+    weak = (age >= 2) & (m.mp_nobs < 3)
+    cull = m.mp_valid & recent & (ratio_bad | weak)
+    keep = m.mp_valid & ~cull
+    # unbind culled points everywhere
+    kf_mp = jnp.where(keep[jnp.clip(m.kf_mp, 0)] & (m.kf_mp >= 0), m.kf_mp, -1)
+    obs = m.obs_mat & keep[None, :]
+    return m._replace(mp_valid=keep, kf_mp=kf_mp, obs_mat=obs)
+
+
+@jax.jit
+def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray):
+    """Mark redundant keyframes invalid (reference ``KeyFrameCulling``,
+    `src/LocalMapping.cc:982`: >=90% of a KF's points seen by >=3 other KFs).
+
+    window_mask: (KF,) candidates to consider; protect: (KF,) never cull
+    (current KF, origin).  Returns the updated map.
+    """
+    bound = m.kf_mp >= 0
+    mp_idx = jnp.clip(m.kf_mp, 0)
+    well_observed = m.mp_nobs[mp_idx] >= 4  # point survives without this KF
+    n_bound = jnp.sum(bound & m.kf_feat_valid, axis=1)
+    n_red = jnp.sum(bound & m.kf_feat_valid & well_observed, axis=1)
+    redundant = (
+        m.kf_valid
+        & window_mask
+        & ~protect
+        & (n_bound > 20)
+        & (n_red >= 0.9 * n_bound)
+    )
+    # cull at most one keyframe per call (keeps nobs accounting exact)
+    first = jnp.argmax(redundant)
+    do = jnp.any(redundant)
+    kf_valid = m.kf_valid.at[first].set(jnp.where(do, False, m.kf_valid[first]))
+    dec = jnp.zeros_like(m.mp_nobs).at[mp_idx[first]].add(
+        (bound[first] & do).astype(jnp.int32)
+    )
+    obs = m.obs_mat.at[first].set(
+        jnp.where(do, jnp.zeros_like(m.obs_mat[first]), m.obs_mat[first])
+    )
+    kf_mp_row = jnp.where(do, jnp.full_like(m.kf_mp[first], -1), m.kf_mp[first])
+    return m._replace(
+        kf_valid=kf_valid,
+        mp_nobs=m.mp_nobs - dec,
+        obs_mat=obs,
+        kf_mp=m.kf_mp.at[first].set(kf_mp_row),
+    )
+
+
+@jax.jit
 def apply_ba_result(
     m: MapArrays,
     kf_slots: jnp.ndarray,   # (K,) int32 slots that were optimized

@@ -84,13 +84,76 @@ class MonoSLAM:
         return self.trajectory[-1] if self.trajectory else None
 
     # ------------------------------------------------------------------
+    def process_batch(self, imgs, frame_ids):
+        """Throughput mode: track a batch of frames in one device dispatch.
+
+        Keyframe decisions are evaluated once per batch on the last frame
+        (bounded-delay keyframing; the reference's mapper also inserts KFs
+        asynchronously).  Falls back to per-frame processing until the map
+        is initialized.
+        """
+        cfg = self.cfg
+        i = 0
+        while self.state == NOT_INITIALIZED and i < len(imgs):
+            self.process(imgs[i], frame_ids[i])
+            i += 1
+        if i >= len(imgs):
+            return self.trajectory[-1] if self.trajectory else None
+
+        # pad to the full requested batch length so the jit signature stays
+        # fixed when initialization consumed a prefix (extra outputs dropped)
+        n_real = len(imgs) - i
+        batch = [np.asarray(f).astype(np.uint8) for f in imgs[i:]]
+        while len(batch) < len(imgs):
+            batch.append(batch[-1])
+        batch = np.stack(batch)
+        vel = self.vel if self.vel is not None else (
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+        )
+        self.m, Rs, ts, n_inls, feats_last, mp_feat_last = T.track_batch(
+            self.m, jnp.asarray(batch), jnp.int32(self.last_kf_slot),
+            self.last_Rcw, self.last_tcw, vel, self.cam, cfg, bf=0.0,
+        )
+        n_inls = np.asarray(n_inls)[:n_real]
+        for k, fid in enumerate(frame_ids[i:]):
+            n = int(n_inls[k])
+            self.state = OK if n >= cfg.min_tracked_points else RECENTLY_LOST
+            self._record(fid, Rs[k], ts[k], n)
+            self.frames_since_kf += 1
+        # velocity from the last two REAL frames (padded tail would zero it)
+        li = n_real - 1
+        if n_real >= 2 and int(n_inls[li]) >= cfg.min_tracked_points:
+            self.vel = se3.compose(
+                (Rs[li], ts[li]), se3.inverse((Rs[li - 1], ts[li - 1]))
+            )
+        self.last_Rcw = Rs[li]
+        self.last_tcw = ts[li]
+        n_last = int(n_inls[li])
+        need_kf = (
+            self.state == OK
+            and (
+                self.frames_since_kf >= cfg.kf_max_interval
+                or n_last < cfg.kf_tracked_ratio * self.tracked_at_kf
+            )
+            and self.n_kf < cfg.max_keyframes - 1
+        )
+        if need_kf:
+            # feats_last/mp_feat_last come from the last scanned frame; with
+            # padding that is a duplicate of the last real frame, so use its
+            # scanned pose (Rs[-1]) for consistency with those features
+            self._insert_keyframe(
+                feats_last, frame_ids[-1], Rs[-1], ts[-1], mp_feat_last, n_last
+            )
+        return self.trajectory[-1]
+
+    # ------------------------------------------------------------------
     def _track_fused(self, img_u8, frame_id):
         cfg = self.cfg
         if self.vel is not None:
             Rp, tp = se3.compose(self.vel, (self.last_Rcw, self.last_tcw))
         else:
             Rp, tp = self.last_Rcw, self.last_tcw
-        feats, Rcw, tcw, n_inl, mp_of_feat = T.track_step(
+        self.m, feats, Rcw, tcw, n_inl, mp_of_feat = T.track_step(
             self.m, img_u8, jnp.int32(self.last_kf_slot), Rp, tp,
             self.cam, cfg, bf=0.0,
         )
@@ -102,11 +165,16 @@ class MonoSLAM:
                      mp_of_feat, uvr=None, depth=None):
         cfg = self.cfg
         if n_inl < cfg.min_tracked_points:
-            self.state = RECENTLY_LOST
-            self.vel = None
-            self._record(frame_id, Rp, tp, n_inl)
-            self.frames_since_kf += 1
-            return
+            # relocalization attempt (reference Tracking::Relocalization)
+            reloc = self._try_relocalize(feats, frame_id)
+            if reloc is not None:
+                Rcw, tcw, n_inl, mp_of_feat = reloc
+            else:
+                self.state = RECENTLY_LOST
+                self.vel = None
+                self._record(frame_id, Rp, tp, n_inl)
+                self.frames_since_kf += 1
+                return
         self.state = OK
         self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
         self.frames_since_kf += 1
@@ -225,12 +293,55 @@ class MonoSLAM:
         mp_mask, _ = MS.local_map_mask(
             self.m, jnp.int32(self.last_kf_slot), n_neighbors=cfg.local_window
         )
-        Rcw, tcw, n_inl, mp_of_feat = T.track_frame(
+        Rcw, tcw, n_inl, mp_of_feat, vis, found = T.track_frame(
             self.m, feats, Rp, tp, mp_mask, self.cam, cfg,
             feat_uvr=uvr, bf=cfg.bf,
         )
+        self.m = self.m._replace(
+            mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
+            mp_found=self.m.mp_found + found.astype(jnp.int32),
+        )
         self._after_track(feats, frame_id, Rp, tp, Rcw, tcw, int(n_inl),
                           mp_of_feat, uvr=uvr, depth=depth)
+
+    # ------------------------------------------------------------------
+    def _try_relocalize(self, feats, frame_id):
+        """BoW candidates -> PnP RANSAC -> projection re-track.
+
+        Returns (Rcw, tcw, n_inl, mp_of_feat) on success, else None.
+        Available once the loop-closing database exists.
+        """
+        if self.loop_closer is None:
+            return None
+        import jax
+
+        from orb_slam3_noted_tpu.optim.pnp import pnp_ransac
+
+        db = self.loop_closer.db
+        _, bow = db.compute_bow(feats.desc, feats.valid)
+        exclude = np.zeros(self.cfg.max_keyframes, bool)
+        slots, _ = db.detect_candidates(bow, exclude, n_best=3, min_rel_score=0.5)
+        for cand in slots:
+            Xw, rays, ok = T.reloc_matches(self.m, jnp.int32(cand), feats, self.cam)
+            if int(jnp.sum(ok)) < 15:
+                continue
+            res = pnp_ransac(Xw, rays, ok, jax.random.PRNGKey(frame_id))
+            if not bool(res.success):
+                continue
+            # re-track the local map from the PnP pose
+            mp_mask, _ = MS.local_map_mask(
+                self.m, jnp.int32(cand), n_neighbors=self.cfg.local_window
+            )
+            Rcw, tcw, n_inl, mp_of_feat, vis, found = T.track_frame(
+                self.m, feats, res.Rcw, res.tcw, mp_mask, self.cam, self.cfg,
+                feat_uvr=None, bf=0.0,
+            )
+            n = int(n_inl)
+            if n >= 2 * self.cfg.min_tracked_points:
+                self.last_kf_slot = cand
+                self.vel = None
+                return Rcw, tcw, n, mp_of_feat
+        return None
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
@@ -263,10 +374,22 @@ class MonoSLAM:
             out = T.triangulate_between(m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg)
             m, _ = self._add_candidates(m, slot, out, kf_b=int(nb))
 
+        # fuse duplicate points with the local map (SearchInNeighbors), cull
+        # weak recent points (MapPointCulling), then local BA and keyframe
+        # culling — the reference mapper's pipeline order
+        mp_mask, kf_mask = MS.local_map_mask(
+            m, jnp.int32(slot), n_neighbors=cfg.local_window
+        )
+        m = T.fuse_map_points(m, jnp.int32(slot), mp_mask, self.cam, cfg)
+        m = MS.cull_map_points(m, jnp.int32(slot))
         m = T.local_ba(
             m, jnp.int32(slot), self.cam, cfg,
             window=cfg.local_window, bf=cfg.bf,
         )
+        protect = (
+            jnp.zeros(cfg.max_keyframes, bool).at[slot].set(True).at[0].set(True)
+        )
+        m = MS.cull_keyframes(m, kf_mask, protect)
         self.m = m
         self.last_kf_slot = slot
         self.frames_since_kf = 0

@@ -143,7 +143,9 @@ def track_frame(
     keep = matched & res.inliers
     tgt = jnp.where(keep, f_idx, NF)
     mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
-    return res.Rcw, res.tcw, res.n_inliers, mp_of_feat
+    # visibility bookkeeping (reference MapPoint::IncreaseVisible/Found,
+    # consumed by MapPointCulling's found/visible ratio)
+    return res.Rcw, res.tcw, res.n_inliers, mp_of_feat, vis, keep
 
 
 # ---------------------------------------------------------------------------
@@ -267,10 +269,76 @@ def track_step(
         th_low=cfg.min_th_fast,
     )
     mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
-    Rcw, tcw, n_inl, mp_of_feat = track_frame(
+    Rcw, tcw, n_inl, mp_of_feat, vis, found = track_frame(
         m, feats, Rcw_pred, tcw_pred, mp_mask, cam, cfg, feat_uvr=None, bf=bf
     )
-    return feats, Rcw, tcw, n_inl, mp_of_feat
+    m = m._replace(
+        mp_visible=m.mp_visible + vis.astype(jnp.int32),
+        mp_found=m.mp_found + found.astype(jnp.int32),
+    )
+    return m, feats, Rcw, tcw, n_inl, mp_of_feat
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def track_batch(
+    m: MS.MapArrays,
+    imgs_u8: jnp.ndarray,       # (B, H, W) uint8
+    last_kf_slot: jnp.ndarray,  # () int32
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    vel0: tuple,                # (R (3,3), t (3,)) relative motion or identity
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float = 0.0,
+):
+    """Track a whole batch of frames in ONE device dispatch (lax.scan).
+
+    The TPU-throughput mode: per-frame host round-trips dominate wall time
+    over a thin link, so B frames scan on-device with the constant-velocity
+    model threaded through the carry; the host syncs once per batch.
+    Keyframe decisions happen between batches (a bounded-delay version of
+    the reference's asynchronous keyframe insertion).
+
+    Returns (Rcw (B,3,3), tcw (B,3), n_inl (B,), feats of the LAST frame,
+    mp_of_feat of the last frame).
+    """
+    mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
+
+    MP = m.mp_pos.shape[0]
+
+    def step(carry, img_u8):
+        Rprev, tprev, Rv, tv, vis_c, found_c = carry
+        Rp, tp = se3.compose((Rv, tv), (Rprev, tprev))
+        img = img_u8.astype(jnp.float32)
+        feats = O.extract_orb(
+            img, n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        Rcw, tcw, n_inl, mp_of_feat, vis, found = track_frame(
+            m, feats, Rp, tp, mp_mask, cam, cfg, feat_uvr=None, bf=bf
+        )
+        ok = n_inl >= cfg.min_tracked_points
+        # velocity update only when tracking succeeded; else keep prediction
+        Rv_new, tv_new = se3.compose((Rcw, tcw), se3.inverse((Rprev, tprev)))
+        Rv = jnp.where(ok, Rv_new, Rv)
+        tv = jnp.where(ok, tv_new, tv)
+        Rout = jnp.where(ok, Rcw, Rp)
+        tout = jnp.where(ok, tcw, tp)
+        vis_c = vis_c + vis.astype(jnp.int32)
+        found_c = found_c + found.astype(jnp.int32)
+        return (Rout, tout, Rv, tv, vis_c, found_c), (
+            Rout, tout, n_inl, feats, mp_of_feat
+        )
+
+    z = jnp.zeros(MP, jnp.int32)
+    carry0 = (Rcw0, tcw0, vel0[0], vel0[1], z, z)
+    (_, _, _, _, vis_c, found_c), (Rs, ts, n_inls, feats_all, mp_feats) = (
+        jax.lax.scan(step, carry0, imgs_u8)
+    )
+    m = m._replace(mp_visible=m.mp_visible + vis_c, mp_found=m.mp_found + found_c)
+    last = jax.tree_util.tree_map(lambda x: x[-1], feats_all)
+    return m, Rs, ts, n_inls, last, mp_feats[-1]
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
@@ -307,6 +375,121 @@ def stereo_points_from_depth(
     dmin = dmax / sf[cfg.n_levels - 1]
     feat = jnp.arange(NF, dtype=jnp.int32)
     return pos_w, m.kf_desc[slot], normal, dmin, dmax, feat, feat, accept
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def reloc_matches(
+    m: MS.MapArrays,
+    cand_slot: jnp.ndarray,
+    feats: O.FrameFeatures,
+    cam: cam_mod.Camera,
+):
+    """3D-2D matches for relocalization against a candidate keyframe.
+
+    Equivalent of the ``SearchByBoW(KF, F)`` step of
+    ``Tracking::Relocalization`` (`src/Tracking.cc:3455-3623`): frame
+    features matched to the candidate's map-point descriptors.
+    Returns (Xw (NF, 3), rays (NF, 3), valid (NF,)).
+    """
+    d = M.hamming_matrix(feats.desc, m.kf_desc[cand_slot])
+    has_mp = m.kf_mp[cand_slot] >= 0
+    gate = feats.valid[:, None] & (has_mp & m.kf_feat_valid[cand_slot])[None, :]
+    masked = jnp.where(gate, d, M.BIG)
+    best = jnp.min(masked, axis=1)
+    idx = jnp.argmin(masked, axis=1)
+    back = jnp.argmin(masked, axis=0)
+    ok = (best <= M.TH_LOW) & (back[idx] == jnp.arange(d.shape[0]))
+    mp = jnp.clip(m.kf_mp[cand_slot][idx], 0)
+    ok = ok & m.mp_valid[mp]
+    Xw = m.mp_pos[mp]
+    rays = cam_mod.unproject(cam, feats.xy)
+    return Xw, rays, ok
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def fuse_map_points(
+    m: MS.MapArrays,
+    target_slot: jnp.ndarray,
+    source_mask: jnp.ndarray,   # (MP,) candidate source points
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+):
+    """Project source map points into a keyframe; bind or merge duplicates.
+
+    Equivalent of ``ORBmatcher::Fuse`` driven by
+    ``LocalMapping::SearchInNeighbors`` (`src/ORBmatcher.cc:1629`,
+    `src/LocalMapping.cc:758`): a source point matching an unbound feature
+    gets bound; one matching a feature bound to a DIFFERENT point triggers a
+    merge that keeps the better-observed point.  Merges are applied globally
+    (all bindings of the losing point rewritten) in one vectorized pass;
+    merge chains are skipped (their members fuse on a later call).
+    """
+    MP = m.mp_pos.shape[0]
+    NF = m.kf_xy.shape[1]
+    R, t = m.kf_Rcw[target_slot], m.kf_tcw[target_slot]
+    uv, level, visible = project_map_points(
+        m, R, t, cam, cfg.width, cfg.height, cfg.n_levels, cfg.scale_factor
+    )
+    src = source_mask & visible & m.mp_valid
+    sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), uv.dtype)
+    mm = M.search_by_projection(
+        uv, 3.0 * sf[level], level,
+        m.mp_desc, src,
+        m.kf_xy[target_slot], m.kf_level[target_slot], m.kf_desc[target_slot],
+        m.kf_feat_valid[target_slot],
+        max_dist=M.TH_LOW,
+    )
+    mm = M.resolve_duplicates(mm, NF)
+    matched = mm.idx >= 0
+    f_idx = jnp.clip(mm.idx, 0)
+    existing = m.kf_mp[target_slot, f_idx]          # (MP,) bound mp or -1
+    mp_ids = jnp.arange(MP, dtype=jnp.int32)
+
+    # --- case A: bind to unbound feature ---
+    bind = matched & (existing < 0)
+    tgt_feat = jnp.where(bind, f_idx, NF)
+    new_row = m.kf_mp[target_slot]
+    new_row = jnp.concatenate([new_row, jnp.full((1,), -1, jnp.int32)])
+    new_row = new_row.at[tgt_feat].set(jnp.where(bind, mp_ids, -1))[:NF]
+    # keep original bindings where not overwritten
+    row = jnp.where(new_row >= 0, new_row, m.kf_mp[target_slot])
+    m = m._replace(
+        kf_mp=m.kf_mp.at[target_slot].set(row),
+        obs_mat=m.obs_mat.at[target_slot].max(
+            jnp.zeros(MP, bool).at[jnp.where(bind, mp_ids, 0)].max(bind)
+        ),
+        mp_nobs=m.mp_nobs + bind.astype(jnp.int32),
+    )
+
+    # --- case B: merge with an already-bound different point ---
+    other = jnp.clip(existing, 0)
+    mergeable = matched & (existing >= 0) & (existing != mp_ids) & m.mp_valid[other]
+    keep_self = m.mp_nobs >= m.mp_nobs[other]
+    winner = jnp.where(keep_self, mp_ids, other)
+    loser = jnp.where(keep_self, other, mp_ids)
+    # build replace map (identity except losers); skip chain merges
+    replace = mp_ids
+    replace = replace.at[jnp.where(mergeable, loser, MP - 1)].set(
+        jnp.where(mergeable, winner, replace[MP - 1])
+    )
+    is_loser = replace != mp_ids
+    chain = is_loser[replace]  # winner itself is a loser -> skip
+    replace = jnp.where(chain, mp_ids, replace)
+    is_loser = replace != mp_ids
+
+    kf_mp = jnp.where(m.kf_mp >= 0, replace[jnp.clip(m.kf_mp, 0)], -1)
+    # fold loser observation columns into the winner's, then drop losers
+    obs_new = jnp.zeros_like(m.obs_mat).at[:, replace].max(m.obs_mat)
+    obs_new = obs_new & (~is_loser)[None, :]
+    nobs_new = jax.ops.segment_sum(
+        jnp.where(m.mp_valid, m.mp_nobs, 0), replace, num_segments=MP
+    )
+    return m._replace(
+        kf_mp=kf_mp,
+        obs_mat=obs_new,
+        mp_valid=m.mp_valid & ~is_loser,
+        mp_nobs=nobs_new,
+    )
 
 
 # ---------------------------------------------------------------------------
