@@ -1,0 +1,170 @@
+"""Dataset drivers (the reference's ``Examples/`` mains, as one CLI).
+
+Replaces the per-dataset example binaries
+(`/root/reference/Examples/Stereo-Inertial/stereo_inertial_euroc.cc`,
+`Examples/Monocular/mono_euroc.cc`, ...): load a sequence, optionally
+rectify, feed the SLAM system frame by frame (batching IMU measurements
+between frames as the reference drivers do, `stereo_inertial_euroc.cc:
+216-225`), save the trajectory in TUM/EuRoC/KITTI format, optionally
+evaluate ATE against ground truth and print per-stage timing stats.
+
+Usage::
+
+    python -m orb_slam3_noted_tpu.cli \
+        --dataset euroc --seq /data/MH_01_easy --settings EuRoC.yaml \
+        --mode stereo-inertial --out traj_tum.txt --eval \
+        --checkpoint-out map.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_system(cfg, mode):
+    from orb_slam3_noted_tpu.pipeline.inertial_system import (
+        MonoInertialSLAM,
+        StereoInertialSLAM,
+    )
+    from orb_slam3_noted_tpu.pipeline.system import MonoSLAM, RGBDSLAM, StereoSLAM
+
+    return {
+        "mono": MonoSLAM,
+        "stereo": StereoSLAM,
+        "rgbd": RGBDSLAM,
+        "mono-inertial": MonoInertialSLAM,
+        "stereo-inertial": StereoInertialSLAM,
+    }[mode](cfg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["euroc", "tumvi", "kitti"],
+                   default="euroc")
+    p.add_argument("--seq", required=True, help="sequence directory")
+    p.add_argument("--settings", required=True, help="reference-format YAML")
+    p.add_argument("--mode", default="stereo",
+                   choices=["mono", "stereo", "rgbd",
+                            "mono-inertial", "stereo-inertial"])
+    p.add_argument("--out", default="trajectory.txt")
+    p.add_argument("--format", default="tum", choices=["tum", "euroc", "kitti"])
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate ATE against the sequence ground truth")
+    p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--checkpoint-in", default=None)
+    p.add_argument("--times", action="store_true",
+                   help="print per-stage timing stats (REGISTER_TIMES)")
+    args = p.parse_args(argv)
+
+    from orb_slam3_noted_tpu.io import datasets as D
+    from orb_slam3_noted_tpu.io import trajectory as TRJ
+    from orb_slam3_noted_tpu.io.yaml_compat import (
+        load_settings,
+        load_stereo_rectification,
+    )
+    from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER, StageTimer
+
+    if args.times:
+        StageTimer.enabled = True
+
+    cfg, imu_params = load_settings(args.settings)
+    stereo = args.mode in ("stereo", "stereo-inertial")
+    inertial = args.mode.endswith("inertial")
+
+    if args.dataset == "euroc":
+        seq = D.load_euroc(args.seq, stereo=stereo, with_imu=inertial)
+    elif args.dataset == "tumvi":
+        seq = D.load_tum_vi(args.seq, stereo=stereo, with_imu=inertial)
+    else:
+        seq = D.load_kitti(args.seq, stereo=stereo)
+
+    rect = None
+    try:
+        r = load_stereo_rectification(args.settings)
+        if r:
+            rect = (D.make_rectify_maps(r), )
+    except Exception:
+        rect = None
+
+    slam = build_system(cfg, args.mode)
+    if args.checkpoint_in:
+        from orb_slam3_noted_tpu.io.checkpoint import load_map
+
+        load_map(args.checkpoint_in, slam)
+
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    t_prev = None
+    t_start = time.time()
+    stamps = []
+    for i in range(n):
+        ts = float(seq.timestamps[i])
+        imgs = seq.read(i)
+        if rect is not None and stereo:
+            maps_l, maps_r = rect[0]
+            imgs = (D.rectify(imgs[0], maps_l), D.rectify(imgs[1], maps_r))
+        kw = {}
+        if inertial and seq.imu is not None:
+            lo = t_prev if t_prev is not None else ts - 1.0
+            chunk = seq.imu.between(lo, ts)
+            kw = dict(t=ts, acc=chunk.acc, gyr=chunk.gyr, imu_t=chunk.t)
+        with GLOBAL_TIMER.stage("frame_total"):
+            if stereo:
+                slam.process(imgs[0], imgs[1], i, **kw)
+            elif inertial:
+                slam.process(imgs, i, **kw)
+            else:
+                slam.process(imgs, i)
+        stamps.append(ts)
+        t_prev = ts
+        if i % 50 == 0:
+            ok = slam.trajectory[-1].state if slam.trajectory else "-"
+            print(f"[{i}/{n}] state={ok} kf={slam.n_kf} mp={slam.n_mp}",
+                  file=sys.stderr)
+    wall = time.time() - t_start
+
+    records = [
+        (stamps[min(r.frame_id, len(stamps) - 1)], r.Rcw, r.tcw)
+        for r in slam.trajectory
+    ]
+    saver = {"tum": TRJ.save_tum, "euroc": TRJ.save_euroc,
+             "kitti": TRJ.save_kitti}[args.format]
+    saver(args.out, records)
+
+    result = {
+        "frames": n, "wall_s": round(wall, 2),
+        "fps": round(n / max(wall, 1e-9), 2),
+        "keyframes": slam.n_kf, "map_points": slam.n_mp,
+        "tracked": sum(1 for r in slam.trajectory if r.state == "OK"),
+    }
+    if args.eval and seq.gt_pos is not None:
+        from orb_slam3_noted_tpu.utils.evaluation import ate_rmse
+
+        est_t = np.asarray(stamps)[
+            [min(r.frame_id, len(stamps) - 1) for r in slam.trajectory]
+        ]
+        est_p = np.stack([-r.Rcw.T @ r.tcw for r in slam.trajectory])
+        ate, s = ate_rmse(
+            est_t, est_p, seq.gt_t, seq.gt_pos,
+            align_scale=args.mode.startswith("mono"),
+        )
+        result["ate_rmse_m"] = round(float(ate), 4)
+        result["align_scale"] = round(float(s), 4)
+
+    if args.checkpoint_out:
+        from orb_slam3_noted_tpu.io.checkpoint import save_map
+
+        save_map(args.checkpoint_out, slam)
+
+    if args.times:
+        GLOBAL_TIMER.print_stats(file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,50 @@ class SlamConfig:
     vocab_words: int = 1024
     loop_min_inliers: int = 25
 
+    # --- IMU (reference YAML IMU.* via Tracking::ParseIMUParamFile,
+    #     `/root/reference/src/Tracking.cc:1106`) ---
+    imu_rbc: tuple = ()              # 9 floats row-major Rbc; empty = identity
+    imu_tbc: tuple = (0.0, 0.0, 0.0)
+    imu_noise_gyro: float = 1.7e-4   # continuous noise densities
+    imu_noise_acc: float = 2.0e-3
+    imu_walk_gyro: float = 1.9e-5
+    imu_walk_acc: float = 3.0e-3
+    imu_freq: float = 200.0
+    # staged initialization schedule (reference `src/LocalMapping.cc:187-236`)
+    imu_init_time: float = 2.0       # seconds of KFs before first init
+    imu_viba1_time: float = 5.0      # VIBA1 refinement
+    imu_viba2_time: float = 15.0     # VIBA2 refinement
+    imu_init_min_kfs: int = 6
+    inertial_window: int = 10        # temporal KFs in LocalInertialBA (Nd)
+
     @property
     def level_sigma2(self):
         return tuple(
             (self.scale_factor ** (2 * i)) for i in range(self.n_levels)
+        )
+
+    def imu_calib(self, dtype=None):
+        """Build the device Calib (discrete per-sample variances).
+
+        The reference multiplies continuous densities by sqrt(freq) when
+        constructing ``IMU::Calib`` (`src/Tracking.cc:1186-1192`), i.e. the
+        per-sample variance is density^2 * freq.
+        """
+        import jax.numpy as jnp
+
+        from orb_slam3_noted_tpu.imu.preintegration import Calib
+
+        dt = dtype or jnp.float32
+        Rbc = (
+            jnp.asarray(self.imu_rbc, dt).reshape(3, 3)
+            if self.imu_rbc else jnp.eye(3, dtype=dt)
+        )
+        f = self.imu_freq
+        return Calib(
+            Rbc=Rbc,
+            tbc=jnp.asarray(self.imu_tbc, dt),
+            cov_ng=jnp.asarray(self.imu_noise_gyro**2 * f, dt),
+            cov_na=jnp.asarray(self.imu_noise_acc**2 * f, dt),
+            cov_walk_g=jnp.asarray(self.imu_walk_gyro**2 / f, dt),
+            cov_walk_a=jnp.asarray(self.imu_walk_acc**2 / f, dt),
         )

@@ -81,20 +81,29 @@ def load_settings(path: str):
     tbc = _read(fs, "Tbc")
     if tbc is not None:
         freq = float(_read(fs, "IMU.Frequency", 200.0))
-        sf = np.sqrt(freq)
-        ng = float(_read(fs, "IMU.NoiseGyro"))
-        na = float(_read(fs, "IMU.NoiseAcc"))
-        ngw = float(_read(fs, "IMU.GyroWalk"))
-        naw = float(_read(fs, "IMU.AccWalk"))
-        # same discretization as the reference (src/Tracking.cc:1106+):
+        # raw continuous densities; SlamConfig.imu_calib applies the same
+        # discretization as the reference (src/Tracking.cc:1106+):
         # noise density * sqrt(freq); walk density / sqrt(freq)
         imu = dict(
             Tbc=np.asarray(tbc, np.float64).reshape(4, 4),
             freq=freq,
-            noise_gyro=ng * sf,
-            noise_acc=na * sf,
-            walk_gyro=ngw / sf,
-            walk_acc=naw / sf,
+            noise_gyro=float(_read(fs, "IMU.NoiseGyro")),
+            noise_acc=float(_read(fs, "IMU.NoiseAcc")),
+            walk_gyro=float(_read(fs, "IMU.GyroWalk")),
+            walk_acc=float(_read(fs, "IMU.AccWalk")),
+        )
+        # fold the IMU section into the typed config so imu_calib() works
+        Rbc = imu["Tbc"][:3, :3]
+        tbc_v = imu["Tbc"][:3, 3]
+        cfg = dataclasses.replace(
+            cfg,
+            imu_rbc=tuple(Rbc.reshape(-1).tolist()),
+            imu_tbc=tuple(tbc_v.tolist()),
+            imu_noise_gyro=imu["noise_gyro"],
+            imu_noise_acc=imu["noise_acc"],
+            imu_walk_gyro=imu["walk_gyro"],
+            imu_walk_acc=imu["walk_acc"],
+            imu_freq=freq,
         )
     fs.release()
     return cfg, imu

@@ -12,8 +12,14 @@ single family of batched JAX solvers:
   landmarks (``LocalBundleAdjustment`` / ``GlobalBundleAdjustemnt``).
 - :mod:`pose_graph` — Sim3/SE3 essential-graph optimization
   (``OptimizeEssentialGraph*``) (see also :mod:`sim3_opt` for ``OptimizeSim3``).
-- :mod:`inertial` — visual-inertial factors and IMU initialization
-  (``EdgeInertial``/``InertialOptimization``/``FullInertialBA``).
+- :mod:`inertial` — IMU initialization (``InertialOptimization``) and the
+  map gravity-align/rescale step (``ApplyScaledRotation``).
+- :mod:`vi_factors` — batched visual-inertial factor library
+  (``EdgeInertial``/``EdgeGyroRW``/``EdgeAccRW``/``EdgePriorPoseImu`` and
+  body-frame reprojection, `include/G2oTypes.h`).
+- :mod:`inertial_ba` — joint visual-inertial LM/Schur engine covering
+  ``LocalInertialBA``/``FullInertialBA`` and the motion-only
+  ``PoseInertialOptimizationLastKeyFrame/LastFrame``.
 
 Everything is static-shape: observations are padded arrays with validity
 masks; fixed vertices are handled by zeroing their Jacobian columns and

@@ -1,0 +1,300 @@
+"""Atlas: multi-map management with merge-on-revisit.
+
+Equivalent of the reference's ``Atlas`` (`/root/reference/src/Atlas.cc`) +
+the multi-map halves of Tracking and LoopClosing:
+
+- On unrecoverable tracking loss, the active map is stored and a fresh map
+  started (``Tracking::CreateMapInAtlas`` `src/Tracking.cc:2500`, policy at
+  `:1871-1877,2119-2136`); a just-born map (<10 keyframes) is discarded
+  instead (``ResetActiveMap``).
+- Every new keyframe queries the stored maps' keyframe databases; a BoW hit
+  verified by Sim3 RANSAC triggers a merge (``LoopClosing::MergeLocal``
+  `src/LoopClosing.cc:1107`): the active map is transformed by the relative
+  Sim3 into the stored map's frame and its keyframes/points are copied in,
+  followed by a welding bundle adjustment around the junction
+  (`src/LoopClosing.cc:1479`).
+
+All maps share one vocabulary (the reference loads a single ORBvoc for the
+whole Atlas).  Merging is a rare host-side event: the index remapping runs
+in numpy on map snapshots, then the merged map returns to the device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import sim3
+from orb_slam3_noted_tpu.geometry.sim3_solver import sim3_ransac
+from orb_slam3_noted_tpu.ops import matching as M
+from orb_slam3_noted_tpu.pipeline import map_state as MS
+from orb_slam3_noted_tpu.pipeline import tracking as T
+from orb_slam3_noted_tpu.pipeline.loop_closing import LoopCloser
+from orb_slam3_noted_tpu.pipeline.system import MonoSLAM, NOT_INITIALIZED, OK
+from orb_slam3_noted_tpu.place import train_vocabulary
+from orb_slam3_noted_tpu.place.database import KeyFrameDatabase
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+@dataclass
+class StoredMap:
+    m: object            # MapArrays snapshot
+    n_kf: int
+    n_mp: int
+    db: KeyFrameDatabase
+    trajectory: list
+
+
+@jax.jit
+def _cross_map_pairs(m_new, slot_new, m_old, slot_old):
+    """3D-3D pairs between keyframes of two different maps (camera frames)."""
+    d = M.hamming_matrix(m_new.kf_desc[slot_new], m_old.kf_desc[slot_old])
+    gate = (
+        (m_new.kf_mp[slot_new] >= 0)[:, None]
+        & (m_old.kf_mp[slot_old] >= 0)[None, :]
+        & m_new.kf_feat_valid[slot_new][:, None]
+        & m_old.kf_feat_valid[slot_old][None, :]
+    )
+    masked = jnp.where(gate, d, M.BIG)
+    best = jnp.min(masked, axis=1)
+    idx = jnp.argmin(masked, axis=1)
+    best_back = jnp.argmin(masked, axis=0)
+    ok = (best <= M.TH_LOW) & (best_back[idx] == jnp.arange(d.shape[0]))
+    mp_new = jnp.clip(m_new.kf_mp[slot_new], 0)
+    mp_old = jnp.clip(m_old.kf_mp[slot_old][idx], 0)
+    x_new = (
+        jnp.einsum("ij,nj->ni", m_new.kf_Rcw[slot_new], m_new.mp_pos[mp_new],
+                   precision=_HP)
+        + m_new.kf_tcw[slot_new]
+    )
+    x_old = (
+        jnp.einsum("ij,nj->ni", m_old.kf_Rcw[slot_old], m_old.mp_pos[mp_old],
+                   precision=_HP)
+        + m_old.kf_tcw[slot_old]
+    )
+    ok = ok & m_new.mp_valid[mp_new] & m_old.mp_valid[mp_old]
+    return x_old, x_new, ok
+
+
+def merge_map_arrays(old: StoredMap, new_m, n_kf_new, n_mp_new, S_wold_wnew):
+    """Copy the new map's keyframes/points into the old map, transformed.
+
+    S_wold_wnew = (R, t, s): x_world_old = s R x_world_new + t.
+    Returns (merged MapArrays, kf_remap, n_kf, n_mp) or None if capacity
+    is exceeded.
+    """
+    mo = jax.tree_util.tree_map(np.asarray, old.m)
+    mn = jax.tree_util.tree_map(np.asarray, new_m)
+    KF, NF = mo.kf_xy.shape[0], mo.kf_xy.shape[1]
+    MP = mo.mp_pos.shape[0]
+    if old.n_kf + n_kf_new > KF or old.n_mp + n_mp_new > MP:
+        return None
+    R, t, s = (np.asarray(S_wold_wnew[0]), np.asarray(S_wold_wnew[1]),
+               float(S_wold_wnew[2]))
+    kf_off, mp_off = old.n_kf, old.n_mp
+
+    out = {k: v.copy() for k, v in mo._asdict().items()}
+    # --- map points: x_old = s R x_new + t ---
+    sl_mp = slice(mp_off, mp_off + n_mp_new)
+    out["mp_pos"][sl_mp] = (s * mn.mp_pos[:n_mp_new] @ R.T + t)
+    out["mp_valid"][sl_mp] = mn.mp_valid[:n_mp_new]
+    out["mp_desc"][sl_mp] = mn.mp_desc[:n_mp_new]
+    out["mp_normal"][sl_mp] = mn.mp_normal[:n_mp_new] @ R.T
+    out["mp_dmin"][sl_mp] = s * mn.mp_dmin[:n_mp_new]
+    out["mp_dmax"][sl_mp] = s * mn.mp_dmax[:n_mp_new]
+    out["mp_ref_kf"][sl_mp] = mn.mp_ref_kf[:n_mp_new] + kf_off
+    out["mp_nobs"][sl_mp] = mn.mp_nobs[:n_mp_new]
+    out["mp_visible"][sl_mp] = mn.mp_visible[:n_mp_new]
+    out["mp_found"][sl_mp] = mn.mp_found[:n_mp_new]
+
+    # --- keyframes: Tc_wold = Tc_wnew o S^-1 (store SE3 as [R' | t'/s']) ---
+    sl_kf = slice(kf_off, kf_off + n_kf_new)
+    Rk = mn.kf_Rcw[:n_kf_new]
+    tk = mn.kf_tcw[:n_kf_new]
+    # sim3 compose: (Rk, tk, 1) o (R, t, s)^-1
+    Rinv = R.T / 1.0
+    # S^-1: x_new = (1/s) R^T (x_old - t)
+    R2 = Rk @ Rinv
+    t2 = tk - (1.0 / s) * (R2 @ t.reshape(3))
+    s2 = 1.0 / s
+    out["kf_Rcw"][sl_kf] = R2
+    out["kf_tcw"][sl_kf] = t2 / s2  # [R | t/s] SE3 normalization
+    out["kf_valid"][sl_kf] = mn.kf_valid[:n_kf_new]
+    out["kf_frame_id"][sl_kf] = mn.kf_frame_id[:n_kf_new]
+    for k in ("kf_xy", "kf_level", "kf_angle", "kf_desc", "kf_feat_valid",
+              "kf_uvr"):
+        out[k][sl_kf] = getattr(mn, k)[:n_kf_new]
+    bind = mn.kf_mp[:n_kf_new]
+    out["kf_mp"][sl_kf] = np.where(bind >= 0, bind + mp_off, -1)
+    out["obs_mat"][sl_kf, :] = False
+    out["obs_mat"][sl_kf, mp_off:mp_off + n_mp_new] = mn.obs_mat[
+        :n_kf_new, :n_mp_new
+    ]
+    merged = type(old.m)(**{k: jnp.asarray(v) for k, v in out.items()})
+    return merged, kf_off, old.n_kf + n_kf_new, old.n_mp + n_mp_new
+
+
+class AtlasSLAM:
+    """Multi-map wrapper around a (monocular/stereo/RGB-D) SLAM system."""
+
+    MIN_KFS_TO_STORE = 6     # smaller maps are discarded on loss (reference ~10)
+    LOST_PATIENCE = 8        # RECENTLY_LOST frames before map switch
+    MERGE_MIN_INLIERS = 25
+
+    def __init__(self, cfg, base_cls=MonoSLAM, fix_scale=False):
+        self.cfg = cfg
+        self.base_cls = base_cls
+        self.fix_scale = fix_scale
+        self.active = base_cls(cfg)
+        self.stored: list[StoredMap] = []
+        self.vocab = None
+        self.lost_streak = 0
+        self.maps_created = 1
+        self.merges = 0
+        self._last_nkf = 0
+
+    # ------------------------------------------------------------------
+    def process(self, *args, **kw):
+        rec = self.active.process(*args, **kw)
+        if rec is None:
+            return rec
+        if rec.state == OK:
+            self.lost_streak = 0
+        elif rec.state != NOT_INITIALIZED:
+            self.lost_streak += 1
+            if self.lost_streak > self.LOST_PATIENCE:
+                self._switch_map()
+                return rec
+        if self.active.n_kf != self._last_nkf and self.active.n_kf > 0:
+            self._last_nkf = self.active.n_kf
+            self._try_merge()
+        return rec
+
+    # ------------------------------------------------------------------
+    def _ensure_vocab(self):
+        if self.vocab is not None:
+            return True
+        lc = self.active.loop_closer
+        if lc is not None:
+            self.vocab = np.asarray(lc.db.vocab)
+            return True
+        # train from the active map's keyframe descriptors
+        m = self.active.m
+        kv = np.asarray(m.kf_feat_valid[: self.active.n_kf])
+        if kv.sum() < 64:
+            return False
+        desc = np.asarray(m.kf_desc[: self.active.n_kf])[kv]
+        self.vocab = train_vocabulary(
+            desc, n_words=min(self.cfg.vocab_words, max(len(desc) // 2, 16)),
+            n_iters=6,
+        )
+        return True
+
+    # ------------------------------------------------------------------
+    def _switch_map(self):
+        """Stash (or discard) the active map; start a fresh one."""
+        a = self.active
+        if a.n_kf >= self.MIN_KFS_TO_STORE and self._ensure_vocab():
+            db = KeyFrameDatabase(self.vocab, self.cfg.max_keyframes)
+            m = a.m
+            for slot in range(a.n_kf):
+                if bool(m.kf_valid[slot]):
+                    _, bow = db.compute_bow(
+                        m.kf_desc[slot], m.kf_feat_valid[slot]
+                    )
+                    db.add(slot, bow)
+            self.stored.append(
+                StoredMap(m=m, n_kf=a.n_kf, n_mp=a.n_mp, db=db,
+                          trajectory=list(a.trajectory))
+            )
+        fresh = self.base_cls(self.cfg)
+        fresh.trajectory = a.trajectory  # keep one global trajectory log
+        self.active = fresh
+        self.lost_streak = 0
+        self._last_nkf = 0
+        self.maps_created += 1
+
+    # ------------------------------------------------------------------
+    def _try_merge(self):
+        """Query stored maps with the newest keyframe; merge on a verified hit."""
+        if not self.stored or not self._ensure_vocab():
+            return False
+        a = self.active
+        slot = a.last_kf_slot
+        m = a.m
+        for si, st in enumerate(self.stored):
+            _, bow = st.db.compute_bow(m.kf_desc[slot], m.kf_feat_valid[slot])
+            slots, scores = st.db.detect_candidates(
+                bow, np.zeros(self.cfg.max_keyframes, bool), n_best=3,
+                min_rel_score=0.5,
+            )
+            for cand in slots:
+                x_old, x_new, ok = _cross_map_pairs(
+                    m, jnp.int32(slot), st.m, jnp.int32(cand)
+                )
+                if int(jnp.sum(ok)) < self.MERGE_MIN_INLIERS:
+                    continue
+                res = sim3_ransac(
+                    x_old, x_new, ok, jax.random.PRNGKey(slot),
+                    fix_scale=self.fix_scale,
+                )
+                if (not bool(res.success)
+                        or int(res.n_inliers) < self.MERGE_MIN_INLIERS):
+                    continue
+                if self._do_merge(st, si, slot, cand, res):
+                    return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _do_merge(self, st: StoredMap, si: int, slot: int, cand: int, res):
+        """Weld the active map into stored map `st` and make it active.
+
+        The Sim3 solver returns S_new_old mapping candidate-KF-frame (old
+        map) points into the current-KF frame (new map):
+        x_cur = S(x_cand).  The world-to-world transform is
+        S_wold_wnew = T_wold_cand o S^-1 o T_cur_wnew.
+        """
+        a = self.active
+        m = a.m
+        # sim3 tuples (R, t, s)
+        S_nc = (res.R, res.t, res.s)
+        T_cur_w = (m.kf_Rcw[slot], m.kf_tcw[slot], jnp.asarray(1.0))
+        T_cand_w = (st.m.kf_Rcw[cand], st.m.kf_tcw[cand], jnp.asarray(1.0))
+        S = sim3.compose(
+            sim3.inverse(T_cand_w), sim3.compose(sim3.inverse(S_nc), T_cur_w)
+        )
+        out = merge_map_arrays(st, m, a.n_kf, a.n_mp, S)
+        if out is None:
+            return False
+        merged, kf_off, n_kf, n_mp = out
+        # rebuild the active system on the merged map
+        a.m = merged
+        a.n_kf = n_kf
+        a.n_mp = n_mp
+        a.last_kf_slot = kf_off + slot
+        a.last_Rcw = merged.kf_Rcw[kf_off + slot]
+        a.last_tcw = merged.kf_tcw[kf_off + slot]
+        a.vel = None
+        a.loop_closer = None  # BoW db slots changed; rebuilt lazily
+        # welding BA around the junction (reference MergeLocal welding window)
+        a.m = T.local_ba(
+            a.m, jnp.int32(kf_off + slot), a.cam, self.cfg,
+            window=self.cfg.local_window, bf=self.cfg.bf,
+        )
+        del self.stored[si]
+        self.merges += 1
+        self._last_nkf = a.n_kf
+        return True
+
+    # ------------------------------------------------------------------
+    @property
+    def trajectory(self):
+        return self.active.trajectory
+
+    @property
+    def n_maps(self):
+        return 1 + len(self.stored)

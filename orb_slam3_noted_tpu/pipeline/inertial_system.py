@@ -1,0 +1,547 @@
+"""Visual-inertial SLAM systems (monocular-inertial, stereo-inertial).
+
+Host orchestration equivalent of the reference's IMU_MONOCULAR / IMU_STEREO
+sensor modes: ``Tracking::PreintegrateIMU`` frame-boundary resampling
+(`/root/reference/src/Tracking.cc:1380-1493`), ``PredictStateIMU`` pose
+prediction (`:1498`), visual-inertial motion-only optimization
+(``PoseInertialOptimizationLastKeyFrame``, `src/Optimizer.cc:6630`), the
+staged IMU initialization of ``LocalMapping::InitializeIMU``
+(`src/LocalMapping.cc:1274-1435`: init at ~2 s, VIBA1 at 5 s, VIBA2 at 15 s,
+with bias priors 1e2/1e10 -> 1/1e5 -> 0/0) and ``LocalInertialBA``
+(`src/Optimizer.cc:3900`) at keyframe insertion.
+
+Scalar control flow (stage machine, keyframe policy) runs on host; every
+numeric step is a jitted device computation with static shapes (IMU windows
+padded, BA windows padded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.imu.preintegration import (
+    Bias,
+    Preintegrated,
+    init_preintegrated,
+    integrate_measurements,
+    predict_state,
+)
+from orb_slam3_noted_tpu.io.config import SlamConfig
+from orb_slam3_noted_tpu.geometry import so3
+from orb_slam3_noted_tpu.optim.inertial import inertial_init
+from orb_slam3_noted_tpu.optim.inertial_ba import vi_pose_optimization
+from orb_slam3_noted_tpu.optim.vi_factors import (
+    VIState,
+    body_from_cam,
+    cam_from_body,
+)
+from orb_slam3_noted_tpu.ops import orb as O
+from orb_slam3_noted_tpu.pipeline import inertial_mapping as IMAP
+from orb_slam3_noted_tpu.pipeline import map_state as MS
+from orb_slam3_noted_tpu.pipeline import tracking as T
+from orb_slam3_noted_tpu.pipeline.system import (
+    NOT_INITIALIZED,
+    OK,
+    RECENTLY_LOST,
+    MonoSLAM,
+    StereoSLAM,
+)
+
+# padded IMU sample counts (static shapes for the preintegration scan)
+_FRAME_PAD = 128      # samples per frame interval (200 Hz / 20 fps = ~10)
+_KF_PAD = 1024        # samples per keyframe interval
+
+
+def resample_interval(acc, gyr, ts, t0, t1):
+    """Midpoint-resample raw samples onto [t0, t1] (host, numpy).
+
+    The frame-boundary handling of ``Tracking::PreintegrateIMU``
+    (`src/Tracking.cc:1440-1485`): virtual samples at t0/t1 by linear
+    interpolation, then midpoint measurements over consecutive intervals.
+    Returns (acc_mid (M, 3), gyr_mid (M, 3), dt (M,)).
+    """
+    acc = np.asarray(acc, np.float64).reshape(-1, 3)
+    gyr = np.asarray(gyr, np.float64).reshape(-1, 3)
+    ts = np.asarray(ts, np.float64).reshape(-1)
+    if t1 <= t0 or len(ts) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+    # interpolate measurement streams at the boundary times, then take the
+    # samples strictly inside plus the two virtual endpoints
+    tt = np.concatenate([[t0], ts[(ts > t0) & (ts < t1)], [t1]])
+    a = np.stack([np.interp(tt, ts, acc[:, k]) for k in range(3)], -1)
+    w = np.stack([np.interp(tt, ts, gyr[:, k]) for k in range(3)], -1)
+    dt = np.diff(tt)
+    acc_mid = 0.5 * (a[:-1] + a[1:])
+    gyr_mid = 0.5 * (w[:-1] + w[1:])
+    keep = dt > 1e-9
+    return acc_mid[keep], gyr_mid[keep], dt[keep]
+
+
+def _pad(a, w, d, n):
+    m = len(d)
+    if m > n:  # drop oldest extras (shouldn't happen with sane pads)
+        a, w, d = a[-n:], w[-n:], d[-n:]
+        m = n
+    acc = np.zeros((n, 3), np.float32)
+    gyr = np.zeros((n, 3), np.float32)
+    dts = np.zeros((n,), np.float32)
+    acc[:m], gyr[:m], dts[:m] = a, w, d
+    return jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts)
+
+
+class _ImuStream:
+    """Host-side raw IMU sample buffer with interval extraction."""
+
+    def __init__(self):
+        self.acc = np.zeros((0, 3))
+        self.gyr = np.zeros((0, 3))
+        self.t = np.zeros((0,))
+
+    def push(self, acc, gyr, ts):
+        if len(np.atleast_1d(ts)) == 0:
+            return
+        self.acc = np.concatenate([self.acc, np.asarray(acc).reshape(-1, 3)])
+        self.gyr = np.concatenate([self.gyr, np.asarray(gyr).reshape(-1, 3)])
+        self.t = np.concatenate([self.t, np.asarray(ts).reshape(-1)])
+        # keep a bounded history (enough for any keyframe interval)
+        if len(self.t) > 8192:
+            self.acc = self.acc[-8192:]
+            self.gyr = self.gyr[-8192:]
+            self.t = self.t[-8192:]
+
+    def interval(self, t0, t1):
+        return resample_interval(self.acc, self.gyr, self.t, t0, t1)
+
+
+class InertialMixin:
+    """Shared visual-inertial machinery layered over a visual SLAM base."""
+
+    def _init_inertial(self, cfg: SlamConfig):
+        self.calib = cfg.imu_calib()
+        self.imu = _ImuStream()
+        self.ki = IMAP.empty_inertial(cfg)
+        self.bias = Bias.zero()
+        self.imu_stage = 0          # 0: vision-only, 1: init, 2: VIBA1, 3: VIBA2
+        self.kf_order: list[int] = []       # KF slots in temporal order
+        self.kf_times: list[float] = []
+        self.kf_segments: list[tuple] = []  # raw (acc, gyr, dt) per chain segment
+        self.seg_preints: list[Preintegrated] = []
+        self.since_kf = (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,)))
+        self.last_t = None
+        self.cur_vel = jnp.zeros(3, jnp.float32)
+        self.frames_total = 0
+
+    # -- raw sample ingestion ------------------------------------------
+    def feed_imu(self, acc, gyr, ts):
+        self.imu.push(acc, gyr, ts)
+
+    def _accumulate_interval(self, t):
+        """Collect resampled measurements from the last frame to t."""
+        if self.last_t is None:
+            self.last_t = t
+            return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+        a, w, d = self.imu.interval(self.last_t, t)
+        self.last_t = t
+        sa, sw, sd = self.since_kf
+        self.since_kf = (
+            np.concatenate([sa, a]), np.concatenate([sw, w]),
+            np.concatenate([sd, d]),
+        )
+        return a, w, d
+
+    def _preint_since_kf(self, bias=None) -> Preintegrated:
+        a, w, d = self.since_kf
+        acc, gyr, dts = _pad(a, w, d, _KF_PAD)
+        return integrate_measurements(bias or self.bias, acc, gyr, dts, self.calib)
+
+    # -- keyframe bookkeeping ------------------------------------------
+    def _on_inertial_keyframe(self, slot, t):
+        """Record the temporal chain segment ending at this new keyframe."""
+        if self.kf_order:
+            a, w, d = self.since_kf
+            self.kf_segments.append((a.copy(), w.copy(), d.copy()))
+            acc, gyr, dts = _pad(a, w, d, _KF_PAD)
+            self.seg_preints.append(
+                integrate_measurements(self.bias, acc, gyr, dts, self.calib)
+            )
+        self.kf_order.append(slot)
+        self.kf_times.append(t)
+        self.since_kf = (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,)))
+        self.ki = IMAP.KFInertial(
+            vel=self.ki.vel.at[slot].set(self.cur_vel),
+            bg=self.ki.bg.at[slot].set(self.bias.bg),
+            ba=self.ki.ba.at[slot].set(self.bias.ba),
+        )
+
+    def _reintegrate_segments(self):
+        """Re-scan every chain segment with the current bias
+        (reference ``Preintegrated::Reintegrate``)."""
+        self.seg_preints = [
+            integrate_measurements(
+                self.bias, *_pad(a, w, d, _KF_PAD), self.calib
+            )
+            for (a, w, d) in self.kf_segments
+        ]
+
+    # -- IMU initialization stages -------------------------------------
+    def _try_imu_init(self, t):
+        cfg = self.cfg
+        stage_times = [
+            cfg.imu_init_time, cfg.imu_viba1_time, cfg.imu_viba2_time
+        ]
+        if self.imu_stage >= 3 or len(self.kf_order) < cfg.imu_init_min_kfs:
+            return
+        elapsed = t - self.kf_times[0]
+        if elapsed < stage_times[self.imu_stage]:
+            return
+        priors = [(1e2, 1e10 if self.FIX_SCALE is False else 1e5),
+                  (1.0, 1e5), (0.0, 0.0)]
+        prior_g, prior_a = priors[self.imu_stage]
+        slots = np.asarray(self.kf_order, np.int32)
+        Rcw = self.m.kf_Rcw[jnp.asarray(slots)]
+        tcw = self.m.kf_tcw[jnp.asarray(slots)]
+        Rwb, twb = body_from_cam(Rcw, tcw, self.calib)
+        pre = jax.tree_util.tree_map(
+            lambda *x: jnp.stack(x), *self.seg_preints
+        )
+        res = inertial_init(
+            Rwb, twb, pre, jnp.ones(len(slots) - 1, bool),
+            prior_g=prior_g, prior_a=max(prior_a, 1e-6),
+            n_iters=30, fix_scale=self.FIX_SCALE,
+        )
+        s = float(res.scale)
+        if not np.isfinite(s) or s < 1e-2 or s > 1e3:
+            return
+        if self.imu_stage == 0:
+            # gravity-align + rescale the whole map (Map::ApplyScaledRotation)
+            Rwg = so3.exp(jnp.concatenate([res.gdir, jnp.zeros(1)]))
+            Ryw = Rwg.T.astype(jnp.float32)
+            sj = jnp.asarray(s, jnp.float32)
+            self.m = MS.apply_scaled_rotation_map(self.m, Ryw, sj)
+            vel_new = s * jnp.einsum("ij,kj->ki", Ryw, res.velocities)
+            self.last_Rcw = self.last_Rcw @ Ryw.T
+            self.last_tcw = self.last_tcw * sj
+            self.vel = None
+        else:
+            vel_new = res.velocities  # already metric; scale ~ 1
+        sl = jnp.asarray(slots)
+        self.ki = IMAP.KFInertial(
+            vel=self.ki.vel.at[sl].set(vel_new.astype(jnp.float32)),
+            bg=self.ki.bg.at[sl].set(
+                jnp.broadcast_to(res.bg, (len(slots), 3)).astype(jnp.float32)),
+            ba=self.ki.ba.at[sl].set(
+                jnp.broadcast_to(res.ba, (len(slots), 3)).astype(jnp.float32)),
+        )
+        self.bias = Bias(res.bg.astype(jnp.float32), res.ba.astype(jnp.float32))
+        self._reintegrate_segments()
+        self.cur_vel = self.ki.vel[int(slots[-1])]
+        # FullInertialBA over the whole chain with the stage's bias priors
+        self._chain_ba(window=None, bias_prior_g=float(prior_g),
+                       bias_prior_a=float(min(prior_a, 1e5)))
+        self.imu_stage += 1
+
+    # -- inertial local mapping ----------------------------------------
+    def _chain_ba(self, window=None, bias_prior_g=0.0, bias_prior_a=0.0):
+        cfg = self.cfg
+        n = len(self.kf_order)
+        if n < 2:
+            return
+        if window is None:
+            # full chain (FullInertialBA), capped to bound the Schur size;
+            # pad to the next power of two to bound recompiles
+            W = min(n - 1, 63)
+            Wpad = 1
+            while Wpad < W:
+                Wpad *= 2
+        else:
+            W = min(window, n - 1)
+            Wpad = cfg.inertial_window
+        Wpad = max(Wpad, W)
+        slots = self.kf_order[-(W + 1):]
+        pres = self.seg_preints[-W:]
+        K = Wpad + 1
+        kf_slots = np.full(K, slots[0], np.int32)
+        kf_mask = np.zeros(K, bool)
+        kf_slots[:len(slots)] = slots
+        kf_mask[:len(slots)] = True
+        dummy = init_preintegrated(self.bias)
+        pre_list = pres + [dummy] * (K - 1 - len(pres))
+        preints = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pre_list)
+        seg_valid = np.zeros(K - 1, bool)
+        seg_valid[:len(pres)] = True
+        self.m, self.ki = IMAP.chain_inertial_ba(
+            self.m, self.ki,
+            jnp.asarray(kf_slots), jnp.asarray(kf_mask),
+            preints, jnp.asarray(seg_valid),
+            self.cam, self.calib, cfg, bf=cfg.bf, n_iters=4,
+            bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
+        )
+
+    # -- per-frame inertial tracking (after IMU init) -------------------
+    def _track_inertial(self, feats, frame_id, feat_uvr=None):
+        cfg = self.cfg
+        anchor_slot = self.kf_order[-1]
+        anchor_Rcw = self.m.kf_Rcw[anchor_slot]
+        anchor_tcw = self.m.kf_tcw[anchor_slot]
+        aRwb, atwb = body_from_cam(anchor_Rcw, anchor_tcw, self.calib)
+        anchor = VIState(
+            Rwb=aRwb, twb=atwb, vel=self.ki.vel[anchor_slot],
+            bg=self.ki.bg[anchor_slot], ba=self.ki.ba[anchor_slot],
+        )
+        pre = self._preint_since_kf()
+        bias = Bias(anchor.bg, anchor.ba)
+        Rp, tp, vp = predict_state(anchor.Rwb, anchor.twb, anchor.vel, pre, bias)
+        frame0 = VIState(Rwb=Rp, twb=tp, vel=vp, bg=anchor.bg, ba=anchor.ba)
+        Rcw_p, tcw_p = cam_from_body(
+            jax.tree_util.tree_map(lambda x: x[None], frame0), self.calib
+        )
+        Rcw_p, tcw_p = Rcw_p[0], tcw_p[0]
+        mp_mask, _ = MS.local_map_mask(
+            self.m, jnp.int32(anchor_slot), n_neighbors=cfg.local_window
+        )
+        obs, f_idx, vis = T.match_local_map(
+            self.m, feats, Rcw_p, tcw_p, mp_mask, self.cam, cfg,
+            feat_uvr=feat_uvr,
+        )
+        res = vi_pose_optimization(
+            self.cam, self.calib, anchor, frame0, pre,
+            self.m.mp_pos, obs, bf=cfg.bf,
+        )
+        st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
+                      vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
+        Rcw, tcw = cam_from_body(st1, self.calib)
+        Rcw, tcw = Rcw[0], tcw[0]
+        self.cur_vel = res.vel
+        n_inl = int(res.n_inliers)
+        # invert matching for keyframe binding
+        NF = feats.xy.shape[0]
+        keep = obs.valid & res.inliers
+        src_mp = jnp.arange(self.m.mp_pos.shape[0], dtype=jnp.int32)
+        tgt = jnp.where(keep, f_idx, NF)
+        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+        self.m = self.m._replace(
+            mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
+            mp_found=self.m.mp_found + keep.astype(jnp.int32),
+        )
+        return Rcw, tcw, n_inl, mp_of_feat, (Rcw_p, tcw_p)
+
+
+class MonoInertialSLAM(InertialMixin, MonoSLAM):
+    """Monocular-inertial SLAM (reference ``System::IMU_MONOCULAR``)."""
+
+    FIX_SCALE = False  # mono: scale is estimated by IMU init
+
+    def __init__(self, cfg: SlamConfig):
+        MonoSLAM.__init__(self, cfg)
+        self._init_inertial(cfg)
+
+    # process(img, t, acc, gyr, imu_t): batched IMU samples since last frame
+    def process(self, img, frame_id, t=None, acc=None, gyr=None, imu_t=None):
+        t = float(frame_id) / self.cfg.fps if t is None else float(t)
+        if acc is not None:
+            self.feed_imu(acc, gyr, imu_t)
+        self._accumulate_interval(t)
+        self._cur_time = t
+        self.frames_total += 1
+
+        if self.state == NOT_INITIALIZED:
+            feats = O.extract_orb(
+                jnp.asarray(img, jnp.float32),
+                n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+                scale_factor=self.cfg.scale_factor,
+                th_high=self.cfg.ini_th_fast, th_low=self.cfg.min_th_fast,
+            )
+            n_kf_before = self.n_kf
+            prev_ref = self.ref_frame_id
+            self._try_initialize(feats, frame_id)
+            if self.n_kf > n_kf_before:  # visual init created KF 0 and 1
+                self._register_init_keyframes(t)
+            elif self.ref_frame_id != prev_ref:
+                # initializer reset its reference frame: the chain segment
+                # must span exactly [ref, next] — restart accumulation
+                self.since_kf = (
+                    np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+                )
+            return self.trajectory[-1] if self.trajectory else None
+
+        feats = O.extract_orb(
+            jnp.asarray(img, jnp.float32),
+            n_features=self.cfg.n_features, n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor,
+            th_high=self.cfg.ini_th_fast, th_low=self.cfg.min_th_fast,
+        )
+        if self.imu_stage == 0:
+            # vision-only tracking while accumulating the chain
+            self._track(feats, frame_id)
+        else:
+            Rcw, tcw, n_inl, mp_of_feat, pred = self._track_inertial(
+                feats, frame_id
+            )
+            if n_inl < self.cfg.min_tracked_points:
+                # IMU dead-reckoning (reference RECENTLY_LOST grace)
+                self.state = RECENTLY_LOST
+                self._record(frame_id, pred[0], pred[1], n_inl)
+                self.frames_since_kf += 1
+            else:
+                self.state = OK
+                self.frames_since_kf += 1
+                self._record(frame_id, Rcw, tcw, n_inl)
+                need_kf = (
+                    self.frames_since_kf >= self.cfg.kf_max_interval
+                    or n_inl < self.cfg.kf_tracked_ratio * self.tracked_at_kf
+                ) and self.n_kf < self.cfg.max_keyframes - 1
+                if need_kf:
+                    self._insert_keyframe(
+                        feats, frame_id, Rcw, tcw, mp_of_feat, n_inl
+                    )
+        # keyframe hooks run inside _insert_keyframe (overridden below)
+        self._try_imu_init(t)
+        self._cur_time = t
+        return self.trajectory[-1]
+
+    def _register_init_keyframes(self, t):
+        """After two-view init, register KF slots 0 and 1 on the chain."""
+        # the accumulated since_kf samples span ref_frame -> current frame
+        self.kf_order = [0]
+        self.kf_times = [t - max(self.since_kf[2].sum(), 1e-3)]
+        self.kf_segments = []
+        self.seg_preints = []
+        self._on_inertial_keyframe(1, t)
+
+    def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                         uvr=None, depth=None):
+        t = getattr(self, "_cur_time", None)
+        if t is None:
+            t = self.last_t if self.last_t is not None else 0.0
+        if self.imu_stage == 0:
+            # visual local mapping path
+            MonoSLAM._insert_keyframe(
+                self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                uvr=uvr, depth=depth,
+            )
+            self._on_inertial_keyframe(self.last_kf_slot, t)
+            return
+        # inertial path: insert KF + triangulate, then LocalInertialBA
+        cfg = self.cfg
+        slot = self.n_kf
+        uvr_arr = uvr if uvr is not None else jnp.full(
+            (cfg.n_features,), -1.0, jnp.float32
+        )
+        m = MS.add_keyframe(
+            self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
+            feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
+            mp_of_feat, uvr_arr,
+        )
+        self.n_kf += 1
+        if depth is not None and self.n_mp < cfg.max_map_points - cfg.n_features:
+            out = T.stereo_points_from_depth(
+                m, jnp.int32(slot), depth, self.cam, cfg, bf=cfg.bf
+            )
+            m, _ = self._add_candidates(m, slot, out)
+        w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
+        neighbors = np.argsort(-w)[:2]
+        for nb in neighbors:
+            if w[nb] <= 0 or self.n_mp >= cfg.max_map_points - cfg.n_features:
+                continue
+            out = T.triangulate_between(
+                m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg
+            )
+            m, _ = self._add_candidates(m, slot, out, kf_b=int(nb))
+        mp_mask, _ = MS.local_map_mask(
+            m, jnp.int32(slot), n_neighbors=cfg.local_window
+        )
+        m = T.fuse_map_points(m, jnp.int32(slot), mp_mask, self.cam, cfg)
+        m = MS.cull_map_points(m, jnp.int32(slot))
+        self.m = m
+        self.last_kf_slot = slot
+        self.frames_since_kf = 0
+        self.tracked_at_kf = max(n_inl, 1)
+        self._on_inertial_keyframe(slot, t)
+        self._chain_ba(window=self.cfg.inertial_window)
+        self.bias = Bias(self.ki.bg[slot], self.ki.ba[slot])
+        self.cur_vel = self.ki.vel[slot]
+
+
+class StereoInertialSLAM(MonoInertialSLAM):
+    """Stereo-inertial SLAM (reference ``System::IMU_STEREO``).
+
+    Metric scale comes from stereo; IMU init runs with scale fixed
+    (`src/LocalMapping.cc:1369` ``bFixedVel=false, priorA`` stereo path).
+    """
+
+    FIX_SCALE = True
+    MIN_INIT_POINTS = 300
+
+    def process(self, img_left, img_right, frame_id,
+                t=None, acc=None, gyr=None, imu_t=None):
+        from orb_slam3_noted_tpu.ops import image as I
+        from orb_slam3_noted_tpu.ops.stereo import match_stereo
+
+        t = float(frame_id) / self.cfg.fps if t is None else float(t)
+        if acc is not None:
+            self.feed_imu(acc, gyr, imu_t)
+        self._accumulate_interval(t)
+        self._cur_time = t
+        self.frames_total += 1
+        cfg = self.cfg
+
+        iml = jnp.asarray(img_left, jnp.float32)
+        imr = jnp.asarray(img_right, jnp.float32)
+        kw = dict(
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        feats = O.extract_orb(iml, **kw)
+        feats_r = O.extract_orb(imr, **kw)
+        pyr_l = tuple(I.build_pyramid(iml, cfg.n_levels, cfg.scale_factor))
+        pyr_r = tuple(I.build_pyramid(imr, cfg.n_levels, cfg.scale_factor))
+        baseline = cfg.bf / self.cam.fx
+        sm = match_stereo(
+            feats, feats_r, pyr_l, pyr_r, bf=cfg.bf, baseline=baseline,
+            n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
+        )
+        uvr = jnp.where(sm.valid, sm.u_right, -1.0)
+        depth = jnp.where(sm.valid, sm.depth, -1.0)
+
+        if self.state == NOT_INITIALIZED:
+            StereoSLAM._stereo_initialize(self, feats, frame_id, uvr, depth)
+            if self.state == OK:
+                self.kf_order = [0]
+                self.kf_times = [t]
+                self.kf_segments = []
+                self.seg_preints = []
+                self.since_kf = (
+                    np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+                )
+            self._cur_time = t
+            return self.trajectory[-1] if self.trajectory else None
+
+        if self.imu_stage == 0:
+            self._track(feats, frame_id, uvr=uvr, depth=depth)
+        else:
+            Rcw, tcw, n_inl, mp_of_feat, pred = self._track_inertial(
+                feats, frame_id, feat_uvr=uvr
+            )
+            if n_inl < cfg.min_tracked_points:
+                self.state = RECENTLY_LOST
+                self._record(frame_id, pred[0], pred[1], n_inl)
+                self.frames_since_kf += 1
+            else:
+                self.state = OK
+                self.frames_since_kf += 1
+                self._record(frame_id, Rcw, tcw, n_inl)
+                need_kf = (
+                    self.frames_since_kf >= cfg.kf_max_interval
+                    or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
+                ) and self.n_kf < cfg.max_keyframes - 1
+                if need_kf:
+                    self._insert_keyframe(
+                        feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                        uvr=uvr, depth=depth,
+                    )
+        self._try_imu_init(t)
+        self._cur_time = t
+        return self.trajectory[-1]

@@ -292,17 +292,41 @@ def apply_ba_result(
     mp_mask: jnp.ndarray,    # (M,) bool
     pos: jnp.ndarray,        # (M, 3)
 ) -> MapArrays:
-    """Write optimized poses/points back into the map."""
-    kf_idx = jnp.where(kf_mask, kf_slots, 0)
-    mp_idx = jnp.where(mp_mask, mp_slots, 0)
+    """Write optimized poses/points back into the map.
+
+    Scatter of the *masked delta* (add), not the value (set): padded window
+    entries contribute exactly zero, so duplicate/colliding padded slot
+    indices can never clobber a real update.
+    """
+    dR = jnp.where(kf_mask[:, None, None], Rcw - m.kf_Rcw[kf_slots], 0.0)
+    dt = jnp.where(kf_mask[:, None], tcw - m.kf_tcw[kf_slots], 0.0)
+    dp = jnp.where(mp_mask[:, None], pos - m.mp_pos[mp_slots], 0.0)
     return m._replace(
-        kf_Rcw=m.kf_Rcw.at[kf_idx].set(
-            jnp.where(kf_mask[:, None, None], Rcw, m.kf_Rcw[kf_idx])
-        ),
-        kf_tcw=m.kf_tcw.at[kf_idx].set(
-            jnp.where(kf_mask[:, None], tcw, m.kf_tcw[kf_idx])
-        ),
-        mp_pos=m.mp_pos.at[mp_idx].set(
-            jnp.where(mp_mask[:, None], pos, m.mp_pos[mp_idx])
-        ),
+        kf_Rcw=m.kf_Rcw.at[kf_slots].add(dR),
+        kf_tcw=m.kf_tcw.at[kf_slots].add(dt),
+        mp_pos=m.mp_pos.at[mp_slots].add(dp),
+    )
+
+
+@jax.jit
+def apply_scaled_rotation_map(
+    m: MapArrays, Ryw: jnp.ndarray, scale: jnp.ndarray
+) -> MapArrays:
+    """Gravity-align + rescale the whole map in place.
+
+    Map-level version of ``Map::ApplyScaledRotation``
+    (`/root/reference/include/Map.h:93`, called from
+    ``LocalMapping::InitializeIMU`` `src/LocalMapping.cc:1385`):
+    world points x' = s * Ryw x; camera poses Tcw' = Tcw * Tw'w with
+    Rcw' = Rcw Ryw^T and tcw' = s * tcw (rotation absorbed, translation
+    rescaled); scale-invariance distances rescale; normals rotate.
+    """
+    R_new = jnp.einsum("kij,lj->kil", m.kf_Rcw, Ryw)
+    return m._replace(
+        kf_Rcw=R_new,
+        kf_tcw=m.kf_tcw * scale,
+        mp_pos=scale * jnp.einsum("ij,nj->ni", Ryw, m.mp_pos),
+        mp_normal=jnp.einsum("ij,nj->ni", Ryw, m.mp_normal),
+        mp_dmin=m.mp_dmin * scale,
+        mp_dmax=m.mp_dmax * scale,
     )

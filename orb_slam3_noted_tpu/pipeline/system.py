@@ -523,3 +523,53 @@ class StereoSLAM(MonoSLAM):
         )
         self.n_mp += n_new
         return m, n_new
+
+
+class RGBDSLAM(StereoSLAM):
+    """RGB-D SLAM: gray image + registered depth map in, metric map out.
+
+    The reference reduces RGB-D to the stereo machinery by synthesizing a
+    virtual right-image coordinate per feature,
+    ``u_r = u - bf / depth`` (``Frame::ComputeStereoFromRGBD``,
+    `/root/reference/include/Frame.h:117`); everything downstream (stereo
+    observations in pose opt / BA, depth-seeded map points) is shared.
+    """
+
+    def process(self, img, depth_img, frame_id: int):
+        cfg = self.cfg
+        im = jnp.asarray(img, jnp.float32)
+        feats = O.extract_orb(
+            im, n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        dmap = jnp.asarray(depth_img, jnp.float32)
+        H, W = dmap.shape
+        # bilinear depth at sub-pixel keypoint locations, falling back to
+        # nearest when any neighbour is invalid (depth edges)
+        x = jnp.clip(feats.xy[:, 0], 0.0, W - 1.001)
+        y = jnp.clip(feats.xy[:, 1], 0.0, H - 1.001)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx_ = x - x0
+        fy_ = y - y0
+        d00 = dmap[y0, x0]
+        d01 = dmap[y0, x0 + 1]
+        d10 = dmap[y0 + 1, x0]
+        d11 = dmap[y0 + 1, x0 + 1]
+        all_ok = (d00 > 0) & (d01 > 0) & (d10 > 0) & (d11 > 0)
+        d_bil = (
+            d00 * (1 - fx_) * (1 - fy_) + d01 * fx_ * (1 - fy_)
+            + d10 * (1 - fx_) * fy_ + d11 * fx_ * fy_
+        )
+        d_near = dmap[jnp.round(y).astype(jnp.int32), jnp.round(x).astype(jnp.int32)]
+        d = jnp.where(all_ok, d_bil, d_near)
+        valid_d = feats.valid & (d > 0)
+        depth = jnp.where(valid_d, d, -1.0)
+        uvr = jnp.where(valid_d, feats.xy[:, 0] - cfg.bf / jnp.maximum(d, 1e-6), -1.0)
+
+        if self.state == NOT_INITIALIZED:
+            self._stereo_initialize(feats, frame_id, uvr, depth)
+        else:
+            self._track(feats, frame_id, uvr=uvr, depth=depth)
+        return self.trajectory[-1] if self.trajectory else None

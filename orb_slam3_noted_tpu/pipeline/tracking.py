@@ -83,8 +83,7 @@ def project_map_points(
     return uv, level, visible
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
-def track_frame(
+def match_local_map(
     m: MS.MapArrays,
     feats: O.FrameFeatures,
     Rcw_pred: jnp.ndarray,
@@ -93,14 +92,13 @@ def track_frame(
     cam: cam_mod.Camera,
     cfg: SlamConfig,
     feat_uvr: jnp.ndarray | None = None,
-    bf: float = 0.0,
 ):
-    """Match local map points into the frame and optimize the pose.
+    """Project local map points into the frame and associate features.
 
-    For stereo frames pass ``feat_uvr`` (right-u per feature, -1 for mono
-    features) and ``bf``; matched features with a valid right coordinate
-    become 3-row stereo observations (reference ``EdgeStereoOnlyPose``).
-    Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
+    The matching half of ``Tracking::TrackLocalMap`` (reference
+    ``SearchLocalPoints`` + ``ORBmatcher::SearchByProjection``
+    `/root/reference/src/ORBmatcher.cc:44`).  Returns (obs: PoseObs indexed
+    per map point, f_idx (MP,) matched feature per map point, vis (MP,)).
     """
     uv_pred, level_pred, visible = project_map_points(
         m, Rcw_pred, tcw_pred, cam, cfg.width, cfg.height,
@@ -134,6 +132,33 @@ def track_frame(
         is_stereo=is_st,
         valid=matched,
     )
+    return obs, f_idx, vis
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def track_frame(
+    m: MS.MapArrays,
+    feats: O.FrameFeatures,
+    Rcw_pred: jnp.ndarray,
+    tcw_pred: jnp.ndarray,
+    local_mp_mask: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    feat_uvr: jnp.ndarray | None = None,
+    bf: float = 0.0,
+):
+    """Match local map points into the frame and optimize the pose.
+
+    For stereo frames pass ``feat_uvr`` (right-u per feature, -1 for mono
+    features) and ``bf``; matched features with a valid right coordinate
+    become 3-row stereo observations (reference ``EdgeStereoOnlyPose``).
+    Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
+    """
+    obs, f_idx, vis = match_local_map(
+        m, feats, Rcw_pred, tcw_pred, local_mp_mask, cam, cfg,
+        feat_uvr=feat_uvr,
+    )
+    matched = obs.valid
     res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs, bf=bf)
 
     # mp id per frame feature (for keyframe binding): invert the matching.

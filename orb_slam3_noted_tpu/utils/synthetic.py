@@ -94,9 +94,12 @@ class BoxRoom:
             d_ax = dirs_w[..., axis]
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (val - o[axis]) / d_ax
-            hitu = o[ua] + t * dirs_w[..., ua]
-            hitv = o[va] + t * dirs_w[..., va]
             valid = (t > 0.05) & np.isfinite(t) & (t < best_t)
+            # rays parallel to the plane give t = +-inf -> inf * 0 = nan in
+            # the hit coordinates; clamp them before texture sampling
+            t_safe = np.where(valid, t, 0.0)
+            hitu = o[ua] + t_safe * dirs_w[..., ua]
+            hitv = o[va] + t_safe * dirs_w[..., va]
             shade = self._sample(tex, hitu, hitv)
             img = np.where(valid, shade, img)
             best_t = np.where(valid, t, best_t)

@@ -1,0 +1,59 @@
+"""Atlas multi-map: loss -> new map -> revisit -> merge.
+
+Mirrors the reference's multi-map behavior (`src/Tracking.cc:2500`
+``CreateMapInAtlas`` on loss; ``LoopClosing::MergeLocal`` on revisit): feed
+a tracked sequence, blind the camera until the map is switched, then revisit
+the same viewpoints and require a verified Sim3 merge back into one map.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam3_noted_tpu.io.config import SlamConfig
+from orb_slam3_noted_tpu.models.cameras import Camera, PINHOLE
+from orb_slam3_noted_tpu.pipeline.atlas import AtlasSLAM
+from orb_slam3_noted_tpu.pipeline.system import MonoSLAM
+from orb_slam3_noted_tpu.utils.synthetic import BoxRoom, orbit_trajectory
+
+W, H = 320, 240
+CAM = Camera(PINHOLE, (260.0, 260.0, 159.5, 119.5))
+
+
+@pytest.mark.slow
+def test_atlas_switch_and_merge():
+    cfg = SlamConfig(
+        camera=CAM, width=W, height=H, n_features=600,
+        max_keyframes=64, max_map_points=8192,
+        local_window=4, kf_max_interval=3,
+        vocab_words=256,
+    )
+    room = BoxRoom(seed=3)
+    poses = orbit_trajectory(20, forward=0.03)
+    frames = [room.render(R, t, CAM.params, W, H) for R, t in poses]
+
+    atlas = AtlasSLAM(cfg, MonoSLAM)
+    i = 0
+    for k in range(18):
+        atlas.process(frames[k], i)
+        i += 1
+    assert atlas.active.n_kf >= 5, "map A too small for the test"
+    n_kf_a = atlas.active.n_kf
+
+    # blind the camera: featureless frames until the atlas switches maps
+    black = np.zeros((H, W), np.float32)
+    for _ in range(AtlasSLAM.LOST_PATIENCE + 3):
+        atlas.process(black, i)
+        i += 1
+    assert atlas.maps_created == 2, "tracking loss did not open a new map"
+    assert len(atlas.stored) == 1, "old map was not stored"
+    assert atlas.stored[0].n_kf == n_kf_a
+
+    # revisit previously mapped viewpoints: new map initializes, then merges
+    for k in range(6, 20):
+        atlas.process(frames[k], i)
+        i += 1
+        if atlas.merges:
+            break
+    assert atlas.merges == 1, "revisit did not merge the maps"
+    assert atlas.n_maps == 1
+    assert atlas.active.n_kf > n_kf_a, "merged map lost keyframes"
