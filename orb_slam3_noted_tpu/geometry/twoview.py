@@ -70,6 +70,167 @@ def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndar
     return x2Ex1 * x2Ex1 / jnp.maximum(denom, 1e-12)
 
 
+def _four_point_homography(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4-point DLT homography from z=1 rays.
+
+    x1, x2: (H, 4, 3) minimal sets. Returns (H, 3, 3) with x2 ~ H x1.
+    """
+    u2, v2 = x2[..., 0], x2[..., 1]
+    z = jnp.zeros_like(x1)
+    r1 = jnp.concatenate([z, -x1, v2[..., None] * x1], axis=-1)  # (H, 4, 9)
+    r2 = jnp.concatenate([x1, z, -u2[..., None] * x1], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # (H, 8, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    return Vt[..., -1, :].reshape(-1, 3, 3)
+
+
+def _transfer_errors(Hm: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
+    """Symmetric transfer errors for homographies.
+
+    Hm (B,3,3), x1/x2 (N,3) -> (e12, e21) each (B, N): squared distance of
+    H x1 vs x2 and H^-1 x2 vs x1 in normalized image coords.
+    """
+    Hx1 = jnp.einsum("bij,nj->bni", Hm, x1, precision=_HP)
+    Hinv = jnp.linalg.inv(Hm)
+    Hx2 = jnp.einsum("bij,nj->bni", Hinv, x2, precision=_HP)
+    z12 = jnp.where(jnp.abs(Hx1[..., 2:]) < 1e-12, 1e-12, Hx1[..., 2:])
+    z21 = jnp.where(jnp.abs(Hx2[..., 2:]) < 1e-12, 1e-12, Hx2[..., 2:])
+    e12 = jnp.sum((Hx1[..., :2] / z12 - x2[None, :, :2]) ** 2, axis=-1)
+    e21 = jnp.sum((Hx2[..., :2] / z21 - x1[None, :, :2]) ** 2, axis=-1)
+    return e12, e21
+
+
+def _decompose_homography(Hm: jnp.ndarray):
+    """Faugeras SVD decomposition of a calibrated homography -> 8 (R, t).
+
+    Faugeras & Lustman 1988, as used by the reference's ``ReconstructH``
+    (`/root/reference/src/TwoViewReconstruction.cc`): H = d R + t n^T has 8
+    solutions; with SVD H = U diag(d1,d2,d3) V^T they are closed-form in the
+    singular values. Returns (R (8,3,3), t (8,3) unit, degenerate () bool).
+    """
+    U, D, Vt = jnp.linalg.svd(Hm)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = D[0], D[1], D[2]
+    # d1 ~ d2 ~ d3 means pure rotation / conic degeneracy
+    degenerate = (d1 / d2 < 1.00001) | (d2 / d3 < 1.00001)
+    eps = 1e-12
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / (d1 * d1 - d3 * d3 + eps), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / (d1 * d1 - d3 * d3 + eps), 0.0))
+    e1 = jnp.asarray([1.0, 1.0, -1.0, -1.0], Hm.dtype)
+    e3 = jnp.asarray([1.0, -1.0, 1.0, -1.0], Hm.dtype)
+    x1v = aux1 * e1
+    x3v = aux3 * e3
+
+    # case d' = +d2: rotation about y by theta
+    st_mag = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / ((d1 + d3) * d2 + eps)
+    ct = (d2 * d2 + d1 * d3) / ((d1 + d3) * d2 + eps)
+    st = st_mag * e1 * e3  # sign(x1*x3)
+
+    def make_pos(i):
+        Rp = jnp.asarray(
+            [[ct, 0.0, -st[i]], [0.0, 1.0, 0.0], [st[i], 0.0, ct]], Hm.dtype
+        )
+        R = s * U @ Rp @ Vt
+        tp = jnp.stack([x1v[i], jnp.zeros((), Hm.dtype), -x3v[i]])
+        t = U @ tp
+        return R, t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+    # case d' = -d2: rotation about y by phi composed with diag(1,-1,-1)
+    sp_mag = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / ((d1 - d3) * d2 + eps)
+    cp = (d1 * d3 - d2 * d2) / ((d1 - d3) * d2 + eps)
+    sp = sp_mag * e1 * e3
+
+    def make_neg(i):
+        Rp = jnp.asarray(
+            [[cp, 0.0, sp[i]], [0.0, -1.0, 0.0], [sp[i], 0.0, -cp]], Hm.dtype
+        )
+        R = s * U @ Rp @ Vt
+        tp = jnp.stack([x1v[i], jnp.zeros((), Hm.dtype), x3v[i]])
+        t = U @ tp
+        return R, t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+    Rs, ts = [], []
+    for i in range(4):
+        R, t = make_pos(i)
+        Rs.append(R)
+        ts.append(t)
+    for i in range(4):
+        R, t = make_neg(i)
+        Rs.append(R)
+        ts.append(t)
+    return jnp.stack(Rs), jnp.stack(ts), degenerate
+
+
+def _hat(v):
+    return jnp.asarray([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ], v.dtype)
+
+
+def _refine_rt_sampson(R0, t0, rays1, rays2, w, n_iters: int = 8):
+    """Gold-standard (R, t) refinement: damped GN on Sampson error.
+
+    Minimizes sum_i w_i * sampson(E(R,t); x1_i, x2_i)^2 over the 5-dof
+    essential manifold (so3 x unit-translation tangent).  The algebraic
+    8-point refit is noise-biased; this is the standard follow-up (Hartley &
+    Zisserman §11.4), replacing the reference's reliance on later full BA to
+    absorb init error.
+    """
+    dtype = rays1.dtype
+
+    def t_basis(t):
+        tmp = jnp.where(jnp.abs(t[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+        b1 = jnp.cross(t, tmp)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return jnp.stack([b1, b2], axis=1)  # (3, 2)
+
+    def residuals(R, t):
+        E = _hat(t) @ R
+        Ex1 = rays1 @ E.T
+        Etx2 = rays2 @ E
+        x2Ex1 = jnp.sum(rays2 * Ex1, axis=-1)
+        denom = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        return w * x2Ex1 / jnp.sqrt(jnp.maximum(denom, 1e-18))
+
+    def step(carry, _):
+        R, t, lam = carry
+        B = t_basis(t)
+
+        def r_of(d):
+            Rn = so3.exp(d[:3]) @ R
+            tn = t + B @ d[3:]
+            tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+            return residuals(Rn, tn)
+
+        z5 = jnp.zeros(5, dtype)
+        r = r_of(z5)
+        J = jax.jacfwd(r_of)(z5)
+        H = J.T @ J + lam * jnp.eye(5, dtype=dtype)
+        d = jnp.linalg.solve(H, -J.T @ r)
+        Rn = so3.exp(d[:3]) @ R
+        tn = t + B @ d[3:]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        better = jnp.sum(r_of(z5) ** 2) > jnp.sum(residuals(Rn, tn) ** 2)
+        R = jnp.where(better, Rn, R)
+        t = jnp.where(better, tn, t)
+        lam = jnp.where(better, lam * 0.5, lam * 10.0)
+        return (R, t, lam), None
+
+    (R, t, _), _ = jax.lax.scan(
+        step, (R0, t0, jnp.asarray(1e-6, dtype)), None, length=n_iters
+    )
+    return R, t
+
+
 def _decompose_essential(E: jnp.ndarray):
     """E -> 4 candidate (R, t) with det(R) = +1, |t| = 1."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -104,6 +265,10 @@ def reconstruct_two_views(
     """
     n = rays1.shape[0]
     dtype = rays1.dtype
+    # model-selection score offset: the reference scores both models with the
+    # 2-dof chi2 (5.991) while gating F inliers at 3.841
+    # (`TwoViewReconstruction.cc` CheckFundamental/CheckHomography)
+    th_score = err_thresh * (5.991 / 3.841)
 
     # --- sample minimal sets (probability mass on valid entries) ---
     p = valid.astype(dtype)
@@ -113,33 +278,83 @@ def reconstruct_two_views(
         lambda k: jax.random.choice(k, n, shape=(8,), replace=False, p=p)
     )(keys)  # (H, 8)
 
+    # ===== essential hypotheses (general scene) =====
     E = _eight_point_essential(rays1[idx], rays2[idx])  # (H, 3, 3)
     err = _sampson_error(E, rays1, rays2)               # (H, N)
     inl = (err < err_thresh) & valid[None, :]
-    # reference-style score: sum of truncated per-point scores
-    score = jnp.sum(jnp.where(inl, err_thresh - err, 0.0), axis=-1)
+    score = jnp.sum(jnp.where(inl, th_score - err, 0.0), axis=-1)
     best = jnp.argmax(score)
-    E_best = E[best]
-    inl_best = inl[best]
 
-    # --- refit E on all inliers of the best hypothesis (least squares) ---
-    w = inl_best.astype(dtype)
+    # ===== homography hypotheses (planar / low-parallax scene) =====
+    Hh = _four_point_homography(rays1[idx[:, :4]], rays2[idx[:, :4]])
+    e12, e21 = _transfer_errors(Hh, rays1, rays2)
+    inl_h = (e12 < th_score) & (e21 < th_score) & valid[None, :]
+    vm = valid[None, :]
+    score_h = jnp.sum(
+        jnp.where(vm & (e12 < th_score), th_score - e12, 0.0)
+        + jnp.where(vm & (e21 < th_score), th_score - e21, 0.0),
+        axis=-1,
+    )
+    best_h = jnp.argmax(score_h)
+
+    # ===== model selection: RH = SH / (SH + SF) (reference uses > 0.40) ====
+    SF = score[best]
+    SH = score_h[best_h]
+    use_H = SH / jnp.maximum(SH + SF, 1e-12) > 0.40
+
+    # --- refit E on the inliers (iterated LS: refit -> reclassify -> refit) ---
+    inl_best_e = inl[best]
     a1, b1 = rays1[:, 0], rays1[:, 1]
     a2, b2 = rays2[:, 0], rays2[:, 1]
-    A = jnp.stack(
+    A_full = jnp.stack(
         [a2 * a1, a2 * b1, a2, b2 * a1, b2 * b1, b2, a1, b1, jnp.ones_like(a1)],
         axis=-1,
-    ) * w[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    E_ls = Vt[-1].reshape(3, 3)
-    U, _, Vt2 = jnp.linalg.svd(E_ls)
+    )
     D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype))
-    E_best = U @ D @ Vt2
-    err_best = _sampson_error(E_best[None], rays1, rays2)[0]
-    inl_best = (err_best < err_thresh) & valid
+    for _ in range(2):
+        w = inl_best_e.astype(dtype)
+        _, _, Vt = jnp.linalg.svd(A_full * w[:, None], full_matrices=True)
+        E_ls = Vt[-1].reshape(3, 3)
+        U, _, Vt2 = jnp.linalg.svd(E_ls)
+        E_best = U @ D @ Vt2
+        err_best = _sampson_error(E_best[None], rays1, rays2)[0]
+        inl_best_e = (err_best < err_thresh) & valid
 
-    # --- cheirality: pick the (R, t) explaining the most inlier points ---
-    cands = _decompose_essential(E_best[None])
+    # --- refit H on the inliers (iterated DLT LS) ---
+    inl_best_h = inl_h[best_h]
+    zr = jnp.zeros_like(rays1)
+    u2, v2 = rays2[:, 0:1], rays2[:, 1:2]
+    rows1_full = jnp.concatenate([zr, -rays1, v2 * rays1], axis=-1)
+    rows2_full = jnp.concatenate([rays1, zr, -u2 * rays1], axis=-1)
+    for _ in range(2):
+        wh = inl_best_h.astype(dtype)[:, None]
+        Ah = jnp.concatenate([rows1_full * wh, rows2_full * wh], axis=0)
+        _, _, Vth = jnp.linalg.svd(Ah, full_matrices=True)
+        H_best = Vth[-1].reshape(3, 3)
+        e12b, e21b = _transfer_errors(H_best[None], rays1, rays2)
+        inl_best_h = (e12b[0] < th_score) & (e21b[0] < th_score) & valid
+
+    inl_best = jnp.where(use_H, inl_best_h, inl_best_e)
+
+    # --- candidate motions: 8 from H (Faugeras), 4 from E (padded to 8) ---
+    Rs_h, ts_h, h_degenerate = _decompose_homography(H_best)
+    (Re1, te1), (Re2, te2), (Re3, te3), (Re4, te4) = _decompose_essential(
+        E_best[None]
+    )
+    Rs_e = jnp.concatenate(
+        [Re1, Re2, Re3, Re4, Re1, Re2, Re3, Re4], axis=0
+    )
+    ts_e = jnp.concatenate(
+        [te1, te2, te3, te4, te1, te2, te3, te4], axis=0
+    )
+    cand_R = jnp.where(use_H, Rs_h, Rs_e)
+    cand_t = jnp.where(use_H, ts_h, ts_e)
+    # duplicate E candidates (and H's none) masked out of the vote so the
+    # clear-winner test below is meaningful
+    cand_valid = jnp.where(
+        use_H, jnp.ones(8, bool), jnp.arange(8) < 4
+    )
+    cands = [((cand_R[i][None], cand_t[i][None]), cand_valid[i]) for i in range(8)]
 
     def check(Rt):
         R21, t21 = Rt[0][0], Rt[1][0]
@@ -153,15 +368,21 @@ def reconstruct_two_views(
         z2s = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
         e1 = jnp.sum((pts1[:, :2] / z1s[:, None] - rays1[:, :2]) ** 2, axis=-1)
         e2 = jnp.sum((p2[:, :2] / z2s[:, None] - rays2[:, :2]) ** 2, axis=-1)
-        reproj_ok = (e1 < 4.0 * err_thresh) & (e2 < 4.0 * err_thresh)
+        reproj_ok = (e1 < err_thresh) & (e2 < err_thresh)
         # parallax between the two rays to the point
         r1 = pts1
         r2 = pts1 - (-R21.T @ t21)  # vector from cam2 center (in cam1 frame)
         cosp = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(
             jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
         )
+        # vote over ALL matches (not only the model's inliers): under a
+        # dominant plane the H-inlier set contains only plane points, for
+        # which the two Faugeras conjugate solutions are exactly equivalent
+        # — off-plane matches are what disambiguates them (reference
+        # CheckRT votes over vbMatchesInliers of the model, but its pixel
+        # thresholds admit the off-plane points; ours are plane-tight)
         good = (
-            inl_best
+            valid
             & (z1 > 1e-6)
             & (z2 > 1e-6)
             & (cosp < min_parallax_cos)
@@ -170,9 +391,9 @@ def reconstruct_two_views(
         return good, pts1, R21, t21, cosp
 
     goods, ptss, Rs, ts, cosps = [], [], [], [], []
-    for c in cands:
-        g, p3, R21, t21, cosp = check(c)
-        goods.append(g)
+    for (rt, cv) in cands:
+        g, p3, R21, t21, cosp = check(rt)
+        goods.append(g & cv)
         ptss.append(p3)
         Rs.append(R21)
         ts.append(t21)
@@ -182,6 +403,15 @@ def reconstruct_two_views(
     kbest = jnp.argmax(counts)
     n_good = counts[kbest]
     n_second = jnp.sort(counts)[-2]
+    ksec = jnp.argmax(jnp.where(jnp.arange(8) == kbest, -1, counts))
+    # pairwise disambiguation on the DISAGREEMENT set: under a dominant
+    # plane both Faugeras conjugates explain every plane point, so global
+    # counts stay close; the off-plane points that only one solution
+    # explains are the evidence that matters
+    dis_a = goods[kbest] & ~goods[ksec]
+    dis_b = goods[ksec] & ~goods[kbest]
+    n_dis = jnp.sum(dis_a) + jnp.sum(dis_b)
+    decisive = (jnp.sum(dis_a) >= 0.8 * n_dis) & (n_dis >= 20)
 
     # Success criteria mirroring the reference (`TwoViewReconstruction.cc`
     # minTriangulated=50, minParallax=1 deg checked at the 50th-best point):
@@ -193,14 +423,24 @@ def reconstruct_two_views(
     parallax_50 = cosp_sorted[jnp.minimum(49, cosp_sorted.shape[0] - 1)]
     success = (
         (n_good >= 50)
-        & (n_second < 0.75 * n_good)
+        & ((n_second < 0.75 * n_good) | decisive)
         & (parallax_50 < jnp.cos(jnp.deg2rad(1.0)))
+        & ~(use_H & h_degenerate)
     )
+
+    # gold-standard polish of the winning motion on its inliers, then final
+    # triangulation with the refined pose
+    R_w = jnp.stack(Rs)[kbest]
+    t_w = jnp.stack(ts)[kbest]
+    R_w, t_w = _refine_rt_sampson(
+        R_w, t_w, rays1, rays2, goods[kbest].astype(dtype)
+    )
+    good_f, pts_f, _, _, _ = check((R_w[None], t_w[None]))
     return TwoViewResult(
         success=success,
-        R21=jnp.stack(Rs)[kbest],
-        t21=jnp.stack(ts)[kbest],
-        points1=jnp.stack(ptss)[kbest],
-        is_inlier=goods[kbest],
-        n_inliers=n_good.astype(jnp.int32),
+        R21=R_w,
+        t21=t_w,
+        points1=pts_f,
+        is_inlier=good_f,
+        n_inliers=jnp.sum(good_f).astype(jnp.int32),
     )

@@ -79,6 +79,119 @@ def whitener(preints: Preintegrated, eps: float = 1e-12) -> jnp.ndarray:
     return jnp.swapaxes(L, -1, -2)  # W = L^T
 
 
+def _linear_seed(Rwb, twb, preints: Preintegrated, valid):
+    """Closed-form seed for the IMU-init GN (avoids the scale/gravity local
+    minimum the coupled problem has when started from s=1, g=-z).
+
+    Mirrors the spirit of the reference's gravity seed from velocity sums
+    (`/root/reference/src/LocalMapping.cc:1332-1353`), but solves the full
+    linear system: with rotations fixed, (ev, ep) are linear in metric scale
+    s, gravity vector g, and metric velocities u_k:
+
+      ev_k: Ri^T (u_{k+1} - u_k - g dt)                      = dV_k(bg)
+      ep_k: Ri^T (s(p_{k+1} - p_k) - u_k dt - 0.5 g dt^2)    = dP_k(bg)
+
+    Gyro bias is first estimated alone from the rotation residuals via the
+    preintegration Jacobian JRg. Returns (log_s, gdir2, bg, v_visual).
+    """
+    K = Rwb.shape[0]
+    dtype = twb.dtype
+    E = K - 1
+    vm = valid.astype(dtype)
+
+    # -- 1. gyro bias from er(bg) ~ Log(dR^T Ri^T Rj) - JRg bg = 0 ----------
+    def rot_res(k):
+        eR = so3.log(preints.dR[k].T @ Rwb[k].T @ Rwb[k + 1])
+        return eR, preints.JRg[k]
+
+    eRs, Jg = jax.vmap(rot_res)(jnp.arange(E))
+    # er(bg) = Log(Exp(JRg bg)^T dR^T Ri^T Rj) ~= eR - JRg bg  (first order)
+    A = Jg * vm[:, None, None]
+    b = eRs * vm[:, None]
+    AtA = jnp.einsum("eij,eik->jk", A, A, precision=_HP) + 1e-9 * jnp.eye(3, dtype=dtype)
+    # er(bg) ~= eR - JRg (bg - b0): solve for the delta, add the preint bias
+    dbg_ls = jnp.linalg.solve(AtA, jnp.einsum("eij,ei->j", A, b, precision=_HP))
+    bg = preints.bias.bg[0] + dbg_ls
+
+    # -- 2. linear LS for [s, g(3), u_0..u_{K-1}] ---------------------------
+    dbg = bg - preints.bias.bg  # (E, 3)
+    dV = preints.dV + jnp.einsum("eij,ej->ei", preints.JVg, dbg, precision=_HP)
+    dP = preints.dP + jnp.einsum("eij,ej->ei", preints.JPg, dbg, precision=_HP)
+    dt = preints.dT
+    n_u = 4 + 3 * K
+
+    def seg_rows(k):
+        Ri = Rwb[k].T
+        Z3 = jnp.zeros((3, 3), dtype)
+        z1 = jnp.zeros((3, 1), dtype)
+        # row blocks: [s | g | u_k | u_{k+1}] with u scattered below
+        ev_s = z1
+        ev_g = -Ri * dt[k]
+        ev_uk = -Ri
+        ev_uk1 = Ri
+        ep_s = (Ri @ (twb[k + 1] - twb[k]))[:, None]
+        ep_g = -0.5 * Ri * dt[k] * dt[k]
+        ep_uk = -Ri * dt[k]
+        ep_uk1 = Z3
+        rows = jnp.zeros((6, n_u), dtype)
+        rows = rows.at[:3, 0:1].set(ev_s).at[:3, 1:4].set(ev_g)
+        rows = jax.lax.dynamic_update_slice(rows, ev_uk, (0, 4 + 3 * k))
+        rows = jax.lax.dynamic_update_slice(rows, ev_uk1, (0, 7 + 3 * k))
+        rows = rows.at[3:, 0:1].set(ep_s).at[3:, 1:4].set(ep_g)
+        rows = jax.lax.dynamic_update_slice(rows, ep_uk, (3, 4 + 3 * k))
+        rows = jax.lax.dynamic_update_slice(rows, ep_uk1, (3, 7 + 3 * k))
+        rhs = jnp.concatenate([dV[k], dP[k]])
+        return rows * vm[k], rhs * vm[k]
+
+    A2, b2 = jax.vmap(seg_rows)(jnp.arange(E))
+    A2 = A2.reshape(-1, n_u)
+    b2 = b2.reshape(-1)
+    H = A2.T @ A2 + 1e-8 * jnp.eye(n_u, dtype=dtype)
+    x = jnp.linalg.solve(H, A2.T @ b2)
+    g = x[1:4]
+
+    # With |g| free, scale is near-unobservable over a short gravity-dominated
+    # window (the LS is barely overdetermined).  Refine with the magnitude
+    # constrained to G: g = G*normalize(g0) + B dg, B = tangent basis (the
+    # VINS-Mono "RefineGravity" step); iterate to re-normalize.
+    def refine(g0, _):
+        gn0 = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-9)
+        # tangent basis orthogonal to gn0
+        tmp = jnp.where(jnp.abs(gn0[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+        b1v = jnp.cross(gn0, tmp)
+        b1v = b1v / jnp.maximum(jnp.linalg.norm(b1v), 1e-9)
+        b2v = jnp.cross(gn0, b1v)
+        Bt = jnp.stack([b1v, b2v], axis=1)  # (3, 2)
+        # substitute g = G gn0 + Bt dg into the LS columns: cols for g (1:4)
+        # become cols for dg, and G gn0 moves to the rhs
+        A_g = A2[:, 1:4]
+        A_dg = A_g @ Bt                                   # (rows, 2)
+        rhs = b2 - A_g @ (GRAVITY * gn0)
+        A_r = jnp.concatenate([A2[:, 0:1], A_dg, A2[:, 4:]], axis=1)
+        Hr = A_r.T @ A_r + 1e-8 * jnp.eye(n_u - 1, dtype=dtype)
+        xr = jnp.linalg.solve(Hr, A_r.T @ rhs)
+        g_new = GRAVITY * gn0 + Bt @ xr[1:3]
+        return g_new, xr
+
+    g, xr_all = jax.lax.scan(refine, g, None, length=4)
+    xr = jax.tree_util.tree_map(lambda a: a[-1], xr_all)
+    s = jnp.clip(xr[0], 1e-3, 1e4)
+    u = xr[3:].reshape(K, 3)
+
+    # gravity direction -> 2-dof tangent: Rwg @ (0,0,-G) = G * g/|g|
+    gn = g / jnp.maximum(jnp.linalg.norm(g), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    axis = jnp.cross(gI, gn)
+    sin_a = jnp.linalg.norm(axis)
+    cos_a = jnp.dot(gI, gn)
+    ang = jnp.arctan2(sin_a, cos_a)
+    w = axis / jnp.maximum(sin_a, 1e-9) * ang
+    gdir = jnp.where(sin_a < 1e-9, jnp.zeros(3, dtype), w)[:2]
+    return jnp.log(s), gdir, bg, u / s
+
+
 class InertialInitResult(NamedTuple):
     scale: jnp.ndarray     # ()
     gdir: jnp.ndarray      # (2,) tangent of the gravity rotation
@@ -88,6 +201,10 @@ class InertialInitResult(NamedTuple):
     velocities: jnp.ndarray  # (K, 3) body velocities (at the VISUAL scale;
                              # multiply by scale for metric)
     cost: jnp.ndarray
+    scale_sigma: jnp.ndarray  # () marginal std of log-scale: observability
+                              # gate — don't rescale the map on a weakly
+                              # excited window (see LocalMapping::InitializeIMU
+                              # time gating in the reference)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
@@ -146,7 +263,13 @@ def inertial_init(
         r_pa = jnp.sqrt(jnp.asarray(prior_a, dtype)) * ba
         return jnp.concatenate([r.reshape(-1), r_pg, r_pa])
 
-    th0 = jnp.zeros(n_par, dtype)
+    # closed-form seed (scale/gravity/bias/velocities); without it the GN
+    # falls into the s~1 local minimum when the visual scale is far from 1
+    log_s0, gdir0, bg0, v0 = _linear_seed(Rwb, twb, preints, valid)
+    th0 = jnp.concatenate([
+        jnp.where(jnp.asarray(fix_scale), 0.0, log_s0)[None],
+        gdir0, bg0, jnp.zeros(3, dtype), v0.reshape(-1),
+    ]).astype(dtype)
 
     def gn(carry, _):
         th, lam = carry
@@ -165,9 +288,19 @@ def inertial_init(
     (th, _), _ = jax.lax.scan(gn, (th0, jnp.asarray(1e-4, dtype)), None, length=n_iters)
     s, gdir, bg, ba, v = unpack(th)
     cost = jnp.sum(residuals(th) ** 2)
+    # marginal covariance of log_s from the Gauss-Newton Hessian; scaled by
+    # the residual variance factor so sloppy visual input widens the gate
+    Jf = jax.jacfwd(residuals)(th)
+    Hf = Jf.T @ Jf + 1e-10 * jnp.eye(n_par, dtype=dtype)
+    n_res = Jf.shape[0]
+    dof = jnp.maximum(n_res - n_par, 1)
+    var_factor = jnp.maximum(cost / dof, 1.0)
+    cov00 = jnp.linalg.inv(Hf)[0, 0]
+    scale_sigma = jnp.sqrt(jnp.maximum(cov00 * var_factor, 0.0))
     return InertialInitResult(
         scale=s, gdir=gdir, g_world=gravity_vec(gdir, dtype),
         bg=bg, ba=ba, velocities=v, cost=cost,
+        scale_sigma=scale_sigma,
     )
 
 

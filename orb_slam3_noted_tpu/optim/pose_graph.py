@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from orb_slam3_noted_tpu.geometry import sim3
+from orb_slam3_noted_tpu.geometry import se3, sim3
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -132,3 +132,130 @@ def optimize_pose_graph_sim3(
         gn_step, (R, t, s, jnp.asarray(lam, dtype)), None, length=n_iters
     )
     return R, t, s, costs[-1]
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF pose graph (yaw + translation) for the gravity-aligned inertial case
+# ---------------------------------------------------------------------------
+
+
+class SE3Edges(NamedTuple):
+    """Relative SE(3) edge table: measurement T_ji = T_j * T_i^{-1}."""
+
+    i: jnp.ndarray       # (E,) int32
+    j: jnp.ndarray       # (E,) int32
+    R: jnp.ndarray       # (E, 3, 3)
+    t: jnp.ndarray       # (E, 3)
+    weight: jnp.ndarray  # (E,)
+    valid: jnp.ndarray   # (E,) bool
+
+
+def _rz(psi):
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    z = jnp.zeros_like(psi)
+    o = jnp.ones_like(psi)
+    return jnp.stack([
+        jnp.stack([c, -s, z]),
+        jnp.stack([s, c, z]),
+        jnp.stack([z, z, o]),
+    ])
+
+
+def _apply_4dof(Ti, d):
+    """World-side 4-dof update of a world->kf pose.
+
+    d = (yaw, dt): the keyframe moves in the world by a rotation about the
+    gravity axis (world z) plus a translation — camera center
+    c' = Rz(yaw) c + dt, orientation yawed.  This is the update manifold of
+    the reference's ``VertexPose4DoF`` (`include/G2oTypes.h:200-230`): after
+    IMU initialization pitch/roll are observable and must not be disturbed
+    by loop correction (`Optimizer::OptimizeEssentialGraph4DoF`,
+    `src/Optimizer.cc:7441`).
+    """
+    Rz = _rz(d[0])
+    Ri, ti = Ti
+    Rn = Ri @ Rz.T
+    tn = ti - Rn @ d[1:]
+    return Rn, tn
+
+
+def _edge_residual_se3(Tm, Ti, Tj):
+    return se3.log(se3.compose(Tm, se3.compose(Ti, se3.inverse(Tj))))
+
+
+def _residual_tangent_4dof(Tm, Ti, Tj, di, dj):
+    return _edge_residual_se3(Tm, _apply_4dof(Ti, di), _apply_4dof(Tj, dj))
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_4dof(
+    R: jnp.ndarray,       # (K, 3, 3) T_iw rotations (world -> kf)
+    t: jnp.ndarray,       # (K, 3)
+    edges: SE3Edges,
+    fixed: jnp.ndarray,   # (K,) bool
+    n_iters: int = 12,
+    lam: float = 1e-6,
+):
+    """Damped GN over the yaw+translation pose graph. Returns (R, t, cost)."""
+    K = R.shape[0]
+    dtype = t.dtype
+    z4 = jnp.zeros(4, dtype)
+
+    def eval_edges(R, t):
+        Tm = (edges.R, edges.t)
+        Ti = (R[edges.i], t[edges.i])
+        Tj = (R[edges.j], t[edges.j])
+        r = jax.vmap(_edge_residual_se3)(Tm, Ti, Tj)  # (E, 6)
+
+        def jac(m_r, m_t, i_r, i_t, j_r, j_t):
+            f = lambda di, dj: _residual_tangent_4dof(
+                (m_r, m_t), (i_r, i_t), (j_r, j_t), di, dj
+            )
+            return jax.jacfwd(f, argnums=0)(z4, z4), jax.jacfwd(f, argnums=1)(z4, z4)
+
+        Ji, Jj = jax.vmap(jac)(
+            edges.R, edges.t, R[edges.i], t[edges.i], R[edges.j], t[edges.j]
+        )  # (E, 6, 4)
+        w = jnp.where(edges.valid, edges.weight, 0.0)
+        cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return r, Ji, Jj, w, cost
+
+    def gn_step(carry, _):
+        R, t, lam_c = carry
+        r, Ji, Jj, w, cost_old = eval_edges(R, t)
+        wJi = w[:, None, None] * Ji
+        wJj = w[:, None, None] * Jj
+        Hii = jnp.einsum("eai,eaj->eij", wJi, Ji, precision=_HP)
+        Hjj = jnp.einsum("eai,eaj->eij", wJj, Jj, precision=_HP)
+        Hij = jnp.einsum("eai,eaj->eij", wJi, Jj, precision=_HP)
+        gi = jnp.einsum("eai,ea->ei", Ji, w[:, None] * r, precision=_HP)
+        gj = jnp.einsum("eai,ea->ei", Jj, w[:, None] * r, precision=_HP)
+
+        H = jnp.zeros((K, 4, K, 4), dtype)
+        H = H.at[edges.i, :, edges.i, :].add(Hii)
+        H = H.at[edges.j, :, edges.j, :].add(Hjj)
+        H = H.at[edges.i, :, edges.j, :].add(Hij)
+        H = H.at[edges.j, :, edges.i, :].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((K, 4), dtype)
+        g = g.at[edges.i].add(gi)
+        g = g.at[edges.j].add(gj)
+
+        bump = jnp.where(fixed, 1e12, lam_c + 1e-8)
+        H = H.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            bump[:, None, None] * jnp.eye(4, dtype=dtype)
+        )
+        g = jnp.where(fixed[:, None], 0.0, g)
+        d = jnp.linalg.solve(H.reshape(K * 4, K * 4), -g.reshape(K * 4)).reshape(K, 4)
+        d = jnp.where(fixed[:, None], 0.0, d)
+        Rn, tn = jax.vmap(lambda dd, RR, tt: _apply_4dof((RR, tt), dd))(d, R, t)
+        _, _, _, _, cost_new = eval_edges(Rn, tn)
+        better = cost_new < cost_old
+        R = jnp.where(better, Rn, R)
+        t = jnp.where(better, tn, t)
+        lam_c = jnp.where(better, lam_c * 0.5, lam_c * 10.0)
+        return (R, t, lam_c), cost_new
+
+    (R, t, _), costs = jax.lax.scan(
+        gn_step, (R, t, jnp.asarray(lam, dtype)), None, length=n_iters
+    )
+    return R, t, costs[-1]

@@ -214,6 +214,14 @@ class InertialMixin:
         s = float(res.scale)
         if not np.isfinite(s) or s < 1e-2 or s > 1e3:
             return
+        if self.imu_stage == 0 and not self.FIX_SCALE:
+            # observability gate: with a smooth (weakly excited) window the
+            # scale is absorbed by a constant velocity offset and the
+            # estimate is meaningless — postpone until the marginal
+            # uncertainty of log-scale tightens rather than warping the map
+            sig = float(res.scale_sigma)
+            if not np.isfinite(sig) or sig > 0.2:
+                return
         if self.imu_stage == 0:
             # gravity-align + rescale the whole map (Map::ApplyScaledRotation)
             Rwg = so3.exp(jnp.concatenate([res.gdir, jnp.zeros(1)]))
@@ -238,12 +246,16 @@ class InertialMixin:
         self._reintegrate_segments()
         self.cur_vel = self.ki.vel[int(slots[-1])]
         # FullInertialBA over the whole chain with the stage's bias priors
+        # (the reference runs it to convergence, its=100-200:
+        # `src/Optimizer.cc:391`; the big scale correction needs the longer
+        # schedule)
         self._chain_ba(window=None, bias_prior_g=float(prior_g),
-                       bias_prior_a=float(min(prior_a, 1e5)))
+                       bias_prior_a=float(min(prior_a, 1e5)), n_iters=16)
         self.imu_stage += 1
 
     # -- inertial local mapping ----------------------------------------
-    def _chain_ba(self, window=None, bias_prior_g=0.0, bias_prior_a=0.0):
+    def _chain_ba(self, window=None, bias_prior_g=0.0, bias_prior_a=0.0,
+                  n_iters=4):
         cfg = self.cfg
         n = len(self.kf_order)
         if n < 2:
@@ -275,7 +287,7 @@ class InertialMixin:
             self.m, self.ki,
             jnp.asarray(kf_slots), jnp.asarray(kf_mask),
             preints, jnp.asarray(seg_valid),
-            self.cam, self.calib, cfg, bf=cfg.bf, n_iters=4,
+            self.cam, self.calib, cfg, bf=cfg.bf, n_iters=n_iters,
             bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
         )
 
@@ -380,10 +392,11 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
                 feats, frame_id
             )
             if n_inl < self.cfg.min_tracked_points:
-                # IMU dead-reckoning (reference RECENTLY_LOST grace)
-                self.state = RECENTLY_LOST
-                self._record(frame_id, pred[0], pred[1], n_inl)
-                self.frames_since_kf += 1
+                # fall back to visual motion-model tracking (+reloc inside)
+                # before declaring loss — right after IMU init the scale can
+                # still be off enough that the IMU-predicted pose misses the
+                # matching windows while visual tracking is fine
+                self._track(feats, frame_id)
             else:
                 self.state = OK
                 self.frames_since_kf += 1
@@ -526,9 +539,8 @@ class StereoInertialSLAM(MonoInertialSLAM):
                 feats, frame_id, feat_uvr=uvr
             )
             if n_inl < cfg.min_tracked_points:
-                self.state = RECENTLY_LOST
-                self._record(frame_id, pred[0], pred[1], n_inl)
-                self.frames_since_kf += 1
+                # visual motion-model fallback (see MonoInertialSLAM.process)
+                self._track(feats, frame_id, uvr=uvr, depth=depth)
             else:
                 self.state = OK
                 self.frames_since_kf += 1

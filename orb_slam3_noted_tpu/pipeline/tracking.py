@@ -584,7 +584,9 @@ def local_ba(
         pose_fixed=pose_fixed,
         point_fixed=~seen,
     )
-    res = bundle_adjust(cam, prob, bf=bf, n_iters=5, n_iters_final=5)
+    res = bundle_adjust(
+        cam, prob, bf=bf, n_iters=cfg.ba_iters, n_iters_final=cfg.ba_iters_final
+    )
     m = MS.apply_ba_result(
         m,
         kf_slots, kf_mask,  # fixed entries were not moved by BA

@@ -28,9 +28,9 @@ def cam_pose(t):
     """World->camera (Rcw, tcw). Camera looks +z into the room, with a
     smooth laterally accelerating motion (enough excitation for IMU init)."""
     twc = np.array([
-        0.35 * np.sin(1.9 * t),
-        0.25 * np.cos(2.3 * t) - 0.25,
-        0.3 * np.sin(0.9 * t) + 0.1 * t,
+        0.22 * np.sin(3.8 * t),
+        0.15 * np.cos(4.6 * t) - 0.15,
+        0.18 * np.sin(1.9 * t) + 0.08 * t,
     ])
     Rwc = np.asarray(so3.exp(jnp.asarray([
         0.06 * np.sin(1.1 * t), 0.08 * np.sin(0.7 * t), 0.04 * np.cos(1.3 * t)
@@ -67,12 +67,12 @@ def test_mono_inertial_recovers_metric_scale():
         camera=CAM, width=W, height=H, fps=FPS,
         n_features=600, max_keyframes=32, max_map_points=4096,
         local_window=5, kf_max_interval=3, min_tracked_points=12,
-        imu_init_time=1.2, imu_viba1_time=2.5, imu_viba2_time=1e9,
+        imu_init_time=1.5, imu_viba1_time=2.5, imu_viba2_time=1e9,
         imu_init_min_kfs=5, inertial_window=6,
         imu_noise_gyro=1e-4, imu_noise_acc=1e-3,
         imu_walk_gyro=1e-6, imu_walk_acc=1e-5, imu_freq=IMU_HZ,
     )
-    room = BoxRoom(seed=0, depth=6.0, h=2.5, w=4.0)
+    room = BoxRoom(seed=0, depth=2.5, h=1.2, w=1.8)
     slam = MonoInertialSLAM(cfg)
     n_frames = 36
     gt_twc = []
@@ -113,12 +113,12 @@ def test_mono_inertial_gravity_alignment():
         camera=CAM, width=W, height=H, fps=FPS,
         n_features=600, max_keyframes=32, max_map_points=4096,
         local_window=5, kf_max_interval=3, min_tracked_points=12,
-        imu_init_time=1.2, imu_viba1_time=1e9, imu_viba2_time=1e9,
+        imu_init_time=1.5, imu_viba1_time=1e9, imu_viba2_time=1e9,
         imu_init_min_kfs=5, inertial_window=6,
         imu_noise_gyro=1e-4, imu_noise_acc=1e-3,
         imu_walk_gyro=1e-6, imu_walk_acc=1e-5, imu_freq=IMU_HZ,
     )
-    room = BoxRoom(seed=1, depth=6.0, h=2.5, w=4.0)
+    room = BoxRoom(seed=1, depth=2.5, h=1.2, w=1.8)
     slam = MonoInertialSLAM(cfg)
     t_prev = -1.0 / FPS
     n_frames = 24
