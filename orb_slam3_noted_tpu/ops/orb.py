@@ -74,20 +74,47 @@ _K10, _K01 = _moment_kernels()
 
 
 def ic_angle_maps(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Dense intensity moments (m10, m01) for a level via cross-correlation.
+    """Dense intensity moments (m10, m01) via row prefix sums — O(1)/pixel.
 
     img: (H, W) float32 -> two (H, W) maps. Keypoint angle = atan2(m01, m10).
+
+    The circular-patch moments of `src/ORBextractor.cc:452-477` are separable
+    by row: with u(|dy|) the quarter-circle span table, per row
+    ``B_w(x) = sum_{|dx|<=w} I(x+dx)`` and
+    ``T_w(x) = sum_{|dx|<=w} dx * I(x+dx)`` follow from two x-cumsums
+    (``T_w = w*(C1(x+w)+C1(x-w-1)) - C2(x+w-1) + C2(x-w-1)``), and
+    ``m01 = sum_dy dy*B_{u}(y+dy)``, ``m10 = sum_dy T_{u}(y+dy)`` are 61
+    shifted adds.  This replaces a dense 31x31 conv (961 taps/pixel, ~17 ms
+    per level on TPU) with ~1 ms of VPU work.  The image is centred (-128)
+    first so the prefix sums stay small enough for exact f32 arithmetic
+    (the circular mask is symmetric, so the moments are shift-invariant).
     """
-    x = img[None, None]  # NCHW
-    k = jnp.stack([jnp.asarray(_K10), jnp.asarray(_K01)], axis=0)[:, None]  # OIHW
-    out = jax.lax.conv_general_dilated(
-        x, k.astype(img.dtype), window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        # bf16 passes are plenty for intensity moments (~0.3 deg angle error)
-        # and much faster than the library-wide HIGHEST default.
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    return out[0, 0], out[0, 1]
+    dt = img.dtype
+    H, W = img.shape[-2], img.shape[-1]
+    P = HALF_PATCH + 1  # 16: covers x+w (w<=15) and x-w-1 reads
+    umax = _umax_table()
+    p = jnp.pad(img - jnp.asarray(128.0, dt), ((P, P), (P, P)))
+    C1 = jnp.cumsum(p, axis=1)
+    C2 = jnp.cumsum(C1, axis=1)
+    Hp = H + 2 * P
+
+    def shx(A, k):  # out(y, x) = A(y, x+k); full padded height, x in [0, W)
+        return jax.lax.slice(A, (0, P + k), (Hp, P + k + W))
+
+    Bw, Tw = {}, {}
+    for w in sorted({int(v) for v in umax}):
+        c1p, c1m = shx(C1, w), shx(C1, -w - 1)
+        Bw[w] = c1p - c1m
+        Tw[w] = w * (c1p + c1m) - shx(C2, w - 1) + shx(C2, -w - 1)
+
+    m10 = jnp.zeros((H, W), dt)
+    m01 = jnp.zeros((H, W), dt)
+    for dy in range(-HALF_PATCH, HALF_PATCH + 1):
+        w = int(umax[abs(dy)])
+        m10 = m10 + jax.lax.slice(Tw[w], (P + dy, 0), (P + dy + H, W))
+        if dy:
+            m01 = m01 + dy * jax.lax.slice(Bw[w], (P + dy, 0), (P + dy + H, W))
+    return m10, m01
 
 
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

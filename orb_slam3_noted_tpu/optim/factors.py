@@ -92,10 +92,27 @@ def reproj_residuals(
     Jp = -jnp.einsum("oab,obc->oac", Jfull, dxc_dxi)  # (O, 3, 6)
     Jl = -jnp.einsum("oab,obc->oac", Jfull, R)        # (O, 3, 3)
 
-    # behind-camera observations are invalid for pinhole
-    ok = obs.valid
+    # behind-camera observations are invalid for pinhole; degenerate points
+    # at the camera centre (e.g. the map table's zero-padding rows routed
+    # through with valid=False) are invalid for any model
+    ok = obs.valid & (jnp.sum(xc * xc, axis=-1) > 1e-10)
     if cam.kind == cam_mod.PINHOLE:
         ok = ok & (z > 1e-4)
+    # Sanitize: padding rows can produce inf/nan Jacobians (KB8 at r ~ 0
+    # overflows f32), and NaN * 0-weight = NaN would poison the segment-sum
+    # normal equations downstream.  Zero masked rows and clamp magnitudes
+    # (real pixel Jacobians are <= ~1e4; 1e6 never clips a live row).
+    okm = ok[:, None, None]
+    Jp = jnp.clip(
+        jnp.nan_to_num(Jp * okm, nan=0.0, posinf=0.0, neginf=0.0), -1e6, 1e6
+    )
+    Jl = jnp.clip(
+        jnp.nan_to_num(Jl * okm, nan=0.0, posinf=0.0, neginf=0.0), -1e6, 1e6
+    )
+    r = jnp.clip(
+        jnp.nan_to_num(r * ok[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+        -1e6, 1e6,
+    )
     rdim = jnp.where(obs.is_stereo, 3.0, 2.0)
     chi2 = jnp.sum(r * r, axis=-1) * obs.inv_sigma2
     chi2 = jnp.where(ok, chi2, 0.0)

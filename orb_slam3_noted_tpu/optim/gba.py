@@ -1,0 +1,344 @@
+"""Global bundle adjustment: matrix-free Schur complement + block-Jacobi PCG.
+
+Equivalent of ``Optimizer::GlobalBundleAdjustemnt``/``BundleAdjustment``
+(`/root/reference/src/Optimizer.cc:57,67`) and the GBA the loop closer spawns
+(`/root/reference/src/LoopClosing.cc:1096,2018-2183`) — but built to scale:
+the windowed engine in :mod:`orb_slam3_noted_tpu.optim.ba` materializes the
+dense pose-landmark coupling ``U (K, 6, M, 3)``, which is fine for local
+windows and unusable at full-map size (256 KF x 16k MP ~ 1.2 GB/operand).
+Here the reduced camera system
+
+    S dp = -gp + U Hll^-1 gl,   S = Hpp - U Hll^-1 U^T
+
+is solved by preconditioned conjugate gradients where every product with
+``U``/``U^T`` is evaluated observation-wise (einsum over the (O, 6, 3)
+per-observation blocks + ``segment_sum``), so memory stays O(O + K + M) and
+the heavy math is batched matmuls on the MXU.
+
+The LM outer loop uses cost-checked adaptive damping (accept/reject, lambda
+x0.5 / x5) — unlike g2o's fixed schedule this is divergence-safe on the
+ill-conditioned post-loop problems GBA is spawned for.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.geometry.linalg3 import inv3
+from orb_slam3_noted_tpu.models import cameras as cam_mod
+from orb_slam3_noted_tpu.optim import factors
+from orb_slam3_noted_tpu.optim.ba import BAProblem, BAResult
+from orb_slam3_noted_tpu.optim.robust import (
+    CHI2_MONO,
+    CHI2_STEREO,
+    huber_cost,
+    huber_weight,
+)
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def _eval_blocks(cam, Rcw, tcw, points, obs, prob, active, use_huber, bf):
+    """Residual blocks for one linearization point.
+
+    Returns (W (O,6,3), Hpp (K,6,6), gp (K,6), Hll (M,3,3), gl (M,3), cost).
+    Fixed poses/points get zeroed Jacobians so their updates are exactly 0.
+    """
+    K = Rcw.shape[0]
+    M = points.shape[0]
+    dtype = tcw.dtype
+    r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw, tcw, points, obs._replace(valid=active), bf=bf
+    )
+    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
+    w = jnp.where(ok, obs.inv_sigma2 * w_rob, 0.0)
+    cost = jnp.sum(
+        jnp.where(ok, jnp.where(use_huber, huber_cost(chi2, delta2), chi2), 0.0)
+    )
+    pose_free = (~prob.pose_fixed).astype(dtype)
+    point_free = (~prob.point_fixed).astype(dtype)
+    Jp = Jp * pose_free[obs.pose_idx][:, None, None]
+    Jl = Jl * point_free[obs.point_idx][:, None, None]
+
+    wJp = w[:, None, None] * Jp
+    W = jnp.einsum("oai,oaj->oij", wJp, Jl, precision=_HP)  # (O, 6, 3)
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", wJp, Jp, precision=_HP), obs.pose_idx, K
+    )
+    gp = jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", Jp, w[:, None] * r, precision=_HP),
+        obs.pose_idx, K,
+    )
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", w[:, None, None] * Jl, Jl, precision=_HP),
+        obs.point_idx, M,
+    )
+    gl = jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", Jl, w[:, None] * r, precision=_HP),
+        obs.point_idx, M,
+    )
+    return W, Hpp, gp, Hll, gl, cost
+
+
+def _schur_matvec(x, W, Hpp_d, Cinv, pose_idx, point_idx, K, M, psum=None):
+    """S @ x without materializing S or U; O(O) per call.
+
+    ``psum``: optional (name) -> reduce partial segment sums over a mesh
+    axis (the distributed path shards the observation axis).
+    """
+    # U^T x: (M, 3) = sum over obs of W_o^T x[pose]
+    utx_o = jnp.einsum("oij,oi->oj", W, x[pose_idx], precision=_HP)
+    utx = jax.ops.segment_sum(utx_o, point_idx, M)
+    if psum is not None:
+        utx = psum(utx)
+    y = jnp.einsum("mij,mj->mi", Cinv, utx, precision=_HP)      # Hll^-1 U^T x
+    # U y: (K, 6)
+    uy_o = jnp.einsum("oij,oj->oi", W, y[point_idx], precision=_HP)
+    uy = jax.ops.segment_sum(uy_o, pose_idx, K)
+    if psum is not None:
+        uy = psum(uy)
+    hx = jnp.einsum("kij,kj->ki", Hpp_d, x, precision=_HP)
+    return hx - uy
+
+
+def _pcg(matvec, Pinv, b, n_iters):
+    """Block-Jacobi preconditioned CG on the (K, 6) pose system."""
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Pinv, r, precision=_HP)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, st):
+        x, r, p, rz = st
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(pAp) > 1e-20, rz / pAp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rz))
+    return x
+
+
+def _gba_lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber,
+                 lam, bf, cg_iters, psum=None):
+    K = Rcw.shape[0]
+    M = points.shape[0]
+    dtype = tcw.dtype
+    W, Hpp, gp, Hll, gl, cost_old = _eval_blocks(
+        cam, Rcw, tcw, points, obs, prob, active, use_huber, bf
+    )
+    if psum is not None:
+        Hpp, gp, Hll, gl, cost_old = (
+            psum(Hpp), psum(gp), psum(Hll), psum(gl), psum(cost_old)
+        )
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp_d = (
+        Hpp + lam * Hpp * eye6
+        + (1e-8 + prob.pose_fixed.astype(dtype))[:, None, None] * eye6
+    )
+    Hll_d = (
+        Hll + lam * Hll * eye3
+        + (1e-8 + prob.point_fixed.astype(dtype))[:, None, None] * eye3
+    )
+    Cinv = inv3(Hll_d)
+
+    # block-Jacobi preconditioner: P_k = Hpp_k - sum_o W_o Cinv_m W_o^T
+    wc_o = jnp.einsum("oij,ojk->oik", W, Cinv[obs.point_idx], precision=_HP)
+    wcw_o = jnp.einsum("oik,ojk->oij", wc_o, W, precision=_HP)
+    Pk_sub = jax.ops.segment_sum(wcw_o, obs.pose_idx, K)
+    if psum is not None:
+        Pk_sub = psum(Pk_sub)
+    Pk = Hpp_d - Pk_sub
+    # symmetrize + regularize, then invert the 6x6 blocks
+    Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 1, 2)) + 1e-6 * eye6
+    Pinv = jnp.linalg.solve(Pk, jnp.broadcast_to(eye6, Pk.shape))
+
+    rhs = -gp + _schur_rhs_coupling(W, Cinv, gl, obs, K, psum)
+    mv = lambda x: _schur_matvec(
+        x, W, Hpp_d, Cinv, obs.pose_idx, obs.point_idx, K, M, psum
+    )
+    dp = _pcg(mv, Pinv, rhs, cg_iters)
+
+    # back-substitute landmarks: dl = Hll^-1 (-gl - U^T dp)
+    utdp_o = jnp.einsum("oij,oi->oj", W, dp[obs.pose_idx], precision=_HP)
+    utdp = jax.ops.segment_sum(utdp_o, obs.point_idx, M)
+    if psum is not None:
+        utdp = psum(utdp)
+    dl = jnp.einsum("mij,mj->mi", Cinv, -gl - utdp, precision=_HP)
+
+    R_new, t_new = se3.compose(se3.exp(dp), (Rcw, tcw))
+    R_new = so3.normalize(R_new)
+    p_new = points + dl
+    _, _, _, _, _, cost_new = _eval_blocks(
+        cam, R_new, t_new, p_new, obs, prob, active, use_huber, bf
+    )
+    if psum is not None:
+        cost_new = psum(cost_new)
+    better = cost_new < cost_old
+    Rcw = jnp.where(better, R_new, Rcw)
+    tcw = jnp.where(better, t_new, tcw)
+    points = jnp.where(better, p_new, points)
+    lam = jnp.where(better, lam * 0.5, lam * 5.0)
+    return Rcw, tcw, points, lam, jnp.where(better, cost_new, cost_old)
+
+
+def _schur_rhs_coupling(W, Cinv, gl, obs, K, psum=None):
+    """U Hll^-1 gl evaluated observation-wise."""
+    y = jnp.einsum("mij,mj->mi", Cinv, gl, precision=_HP)
+    uy_o = jnp.einsum("oij,oj->oi", W, y[obs.point_idx], precision=_HP)
+    out = jax.ops.segment_sum(uy_o, obs.pose_idx, K)
+    if psum is not None:
+        out = psum(out)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "bf", "n_iters", "n_iters_final", "cg_iters"),
+)
+def global_bundle_adjust(
+    cam: cam_mod.Camera,
+    prob: BAProblem,
+    bf: float = 0.0,
+    n_iters: int = 8,
+    n_iters_final: int = 5,
+    cg_iters: int = 64,
+) -> BAResult:
+    """Full-map LM with the two-phase robust schedule of the local engine.
+
+    Same semantics as :func:`orb_slam3_noted_tpu.optim.ba.bundle_adjust`
+    (phase 1 Huber, chi2 outlier re-classification, phase 2 plain LS) but
+    with the matrix-free Schur/PCG inner solver, so it runs at Atlas scale.
+    """
+    obs = prob.obs
+    Rcw, tcw, points = prob.Rcw, prob.tcw, prob.points
+
+    def phase(Rcw, tcw, points, active, use_huber, n):
+        def body(_, st):
+            Rcw, tcw, points, lam = st
+            Rcw, tcw, points, lam, _ = _gba_lm_step(
+                cam, Rcw, tcw, points, obs, prob, active, use_huber,
+                lam, bf, cg_iters,
+            )
+            return (Rcw, tcw, points, lam)
+
+        Rcw, tcw, points, _ = jax.lax.fori_loop(
+            0, n, body, (Rcw, tcw, points, jnp.asarray(1e-4, tcw.dtype))
+        )
+        return Rcw, tcw, points
+
+    Rcw, tcw, points = phase(
+        Rcw, tcw, points, obs.valid, jnp.asarray(True), n_iters
+    )
+    r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw, tcw, points, obs, bf=bf
+    )
+    th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    active = obs.valid & ok & (chi2 <= th)
+    Rcw, tcw, points = phase(
+        Rcw, tcw, points, active, jnp.asarray(False), n_iters_final
+    )
+
+    r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw, tcw, points, obs, bf=bf
+    )
+    inlier = obs.valid & ok & (chi2 <= th)
+    cost = jnp.sum(jnp.where(inlier, chi2, 0.0))
+    return BAResult(
+        Rcw=Rcw, tcw=tcw, points=points, chi2=chi2, inlier=inlier, cost=cost
+    )
+
+
+def full_map_problem(m, cfg, sample_stride: int = 1):
+    """Build a BAProblem over every valid keyframe/point binding in the map.
+
+    Gauge: the earliest valid keyframe is fixed (the reference fixes
+    ``mvpKeyFrameOrigins``; `src/Optimizer.cc:130` ``setFixed(pKF->mnId==0)``).
+    """
+    KF, NF = m.kf_xy.shape[0], m.kf_xy.shape[1]
+    MP = m.mp_pos.shape[0]
+    k_idx = jnp.repeat(jnp.arange(KF, dtype=jnp.int32), NF)
+    f_idx = jnp.tile(jnp.arange(NF, dtype=jnp.int32), KF)
+    if sample_stride > 1:
+        k_idx = k_idx[::sample_stride]
+        f_idx = f_idx[::sample_stride]
+    mp_id = m.kf_mp[k_idx, f_idx]
+    valid = (
+        m.kf_valid[k_idx]
+        & (mp_id >= 0)
+        & m.kf_feat_valid[k_idx, f_idx]
+    )
+    mp_idx = jnp.clip(mp_id, 0)
+    valid = valid & m.mp_valid[mp_idx]
+    sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
+    uvr = m.kf_uvr[k_idx, f_idx]
+    obs = factors.ReprojObs(
+        pose_idx=k_idx,
+        point_idx=mp_idx,
+        uv=m.kf_xy[k_idx, f_idx],
+        uv_r=uvr,
+        inv_sigma2=1.0 / sigma2[m.kf_level[k_idx, f_idx]],
+        is_stereo=uvr >= 0,
+        valid=valid,
+    )
+    # gauge: earliest valid keyframe by frame id
+    fids = jnp.where(m.kf_valid, m.kf_frame_id, jnp.int32(1 << 30))
+    anchor = jnp.argmin(fids)
+    pose_fixed = (~m.kf_valid).at[anchor].set(True)
+    seen = jnp.zeros(MP, bool).at[mp_idx].max(valid)
+    return BAProblem(
+        Rcw=m.kf_Rcw,
+        tcw=m.kf_tcw,
+        points=m.mp_pos,
+        obs=obs,
+        pose_fixed=pose_fixed,
+        point_fixed=~seen,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf", "n_iters",
+                                   "n_iters_final", "cg_iters"))
+def run_global_ba(m, cam, cfg, bf: float = 0.0, n_iters: int = 8,
+                  n_iters_final: int = 5, cg_iters: int = 64):
+    """GBA over the whole map; writes results back. ONE device dispatch.
+
+    Equivalent of ``LoopClosing::RunGlobalBundleAdjustment``
+    (`/root/reference/src/LoopClosing.cc:2018-2183`).  The synchronous
+    pipeline has no keyframes created *during* GBA, so the reference's
+    spanning-tree correction propagation (`:2080-2161`) reduces to a direct
+    write-back; the async mapper applies the same delta-propagation via
+    ``apply_ba_result``'s masked delta scatter.
+    """
+    from orb_slam3_noted_tpu.pipeline import map_state as MS
+
+    prob = full_map_problem(m, cfg)
+    res = global_bundle_adjust(
+        cam, prob, bf=bf, n_iters=n_iters,
+        n_iters_final=n_iters_final, cg_iters=cg_iters,
+    )
+    KF = m.kf_Rcw.shape[0]
+    MP = m.mp_pos.shape[0]
+    m = MS.apply_ba_result(
+        m,
+        jnp.arange(KF, dtype=jnp.int32), m.kf_valid,
+        res.Rcw, res.tcw,
+        jnp.arange(MP, dtype=jnp.int32), ~prob.point_fixed, res.points,
+    )
+    return m, res.cost

@@ -102,11 +102,20 @@ class LoopCloser:
         min_inliers: int = 25,
         covis_edge_weight: int = 30,
         exclude_recent: int = 10,
+        enable_gba: bool = True,
+        consistency_th: int = 3,
     ):
         self.db = KeyFrameDatabase(vocab, max_keyframes)
         self.min_inliers = min_inliers
         self.covis_edge_weight = covis_edge_weight
         self.exclude_recent = exclude_recent
+        self.enable_gba = enable_gba
+        # required consecutive covisibility-consistent detections before a
+        # candidate may correct the map (reference
+        # ``mnCovisibilityConsistencyTh = 3``, 3-hit temporal consistency of
+        # `src/LoopClosing.cc:356-439`)
+        self.consistency_th = consistency_th
+        self.consistent_groups: list[tuple[set, int]] = []
         self.loops_closed = 0
         self.last_loop_kf = -1
 
@@ -129,12 +138,35 @@ class LoopCloser:
         exclude = covis > 0
         lo = max(0, slot - self.exclude_recent)
         exclude[lo : slot + 1] = True
-        slots, scores = self.db.detect_candidates(bow, exclude, n_best=3)
+        obs = np.asarray(m.obs_mat).astype(np.float32)
+        covis_mat = obs @ obs.T
+        slots, scores = self.db.detect_candidates(
+            bow, exclude, n_best=3, covis=covis_mat
+        )
         self.db.add(slot, bow)
         if not slots:
+            self.consistent_groups = []
             return False
 
+        # --- temporal consistency: a candidate place must be re-detected in
+        # `consistency_th` consecutive keyframes (groups linked by
+        # covisibility), before geometric verification is allowed ---
+        new_groups: list[tuple[set, int]] = []
+        verified_cands: list[int] = []
         for cand in slots:
+            grp = set(np.flatnonzero(covis_mat[cand] > 0).tolist()) | {cand}
+            count = 0
+            for prev_grp, prev_count in self.consistent_groups:
+                if grp & prev_grp:
+                    count = max(count, prev_count + 1)
+            new_groups.append((grp, count))
+            if count + 1 >= self.consistency_th:
+                verified_cands.append(cand)
+        self.consistent_groups = new_groups
+        if not verified_cands:
+            return False
+
+        for cand in verified_cands:
             x_cand, x_cur, ok = _matched_point_pairs(
                 m, jnp.int32(slot), jnp.int32(cand)
             )
@@ -149,6 +181,7 @@ class LoopCloser:
             self._correct(slam, slot, cand, res)
             self.loops_closed += 1
             self.last_loop_kf = slot
+            self.consistent_groups = []
             return True
         return False
 
@@ -204,6 +237,37 @@ class LoopCloser:
             R_all, t_all, s_all, edges, fixed
         )
         slam.m = _apply_correction(m, R_new, t_new, s_new)
+
+        # SearchAndFuse (`src/LoopClosing.cc:1872`): with poses corrected,
+        # project the map into the loop-side keyframes and merge the
+        # duplicate landmarks the drift created (the current window's points
+        # now land on the loop side's features and vice versa)
+        if getattr(slam, "cfg", None) is not None:
+            from orb_slam3_noted_tpu.pipeline import map_state as MS
+            from orb_slam3_noted_tpu.pipeline import tracking as T
+
+            all_mp = slam.m.mp_valid
+            for target in (cand, slot):
+                mask, _ = MS.local_map_mask(
+                    slam.m, jnp.int32(target), n_neighbors=5
+                )
+                # fuse points NOT local to the target into the target view
+                slam.m = T.fuse_map_points(
+                    slam.m, jnp.int32(target), all_mp & ~mask,
+                    slam.cam, slam.cfg,
+                )
+
+        # global BA after the pose-graph correction (reference spawns a GBA
+        # thread from CorrectLoop, `src/LoopClosing.cc:1090-1097`); the
+        # matrix-free Schur/PCG engine runs at full-map scale, so no
+        # "<200 KFs" escape hatch is needed
+        if self.enable_gba and getattr(slam, "cfg", None) is not None:
+            from orb_slam3_noted_tpu.optim.gba import run_global_ba
+
+            slam.m, _ = run_global_ba(
+                slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
+                n_iters=6, n_iters_final=4,
+            )
         # tracking state continues from the corrected pose of the current KF
         slam.last_Rcw = slam.m.kf_Rcw[slot]
         slam.last_tcw = slam.m.kf_tcw[slot]

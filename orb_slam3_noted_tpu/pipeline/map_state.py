@@ -243,6 +243,98 @@ def cull_map_points(m: MapArrays, current_kf: jnp.ndarray) -> MapArrays:
 
 
 @jax.jit
+def update_point_stats(m: MapArrays, mp_sel: jnp.ndarray) -> MapArrays:
+    """Re-elect distinctive descriptors and refresh normals/scale ranges.
+
+    Batched equivalent of ``MapPoint::ComputeDistinctiveDescriptors``
+    (`/root/reference/src/MapPoint.cc:349`) and ``UpdateNormalAndDepth``:
+
+    - descriptor: among a point's observations, pick the one minimizing the
+      summed Hamming distance to the others.  Exact mean-distance argmin via
+      per-point bit counts: sum_o' ham(a, b_o') = sum_bits a_j (n - c_j) +
+      (1 - a_j) c_j with c_j the per-point count of set bit j — one
+      segment-sum over the flat observation table, no pairwise matrix.
+      (The reference minimizes the *median*; for the <= dozens of
+      observations per point the mean/median argmins coincide in practice
+      and the mean is a single MXU-friendly reduction.)
+    - normal: mean unit vector from each observing keyframe centre.
+    - dmin/dmax: distance to the reference KF scaled by the observed octave
+      (``PredictScale`` range).
+
+    ``mp_sel`` (MP,) limits the update to points whose observations changed
+    (the reference updates points touched by the current keyframe only).
+    """
+    KF, NF = m.kf_xy.shape[0], m.kf_xy.shape[1]
+    MP = m.mp_pos.shape[0]
+    k_idx = jnp.repeat(jnp.arange(KF, dtype=jnp.int32), NF)
+    f_idx = jnp.tile(jnp.arange(NF, dtype=jnp.int32), KF)
+    mp = m.kf_mp.reshape(-1)
+    row_ok = (mp >= 0) & m.kf_valid[k_idx] & m.kf_feat_valid.reshape(-1)
+    mp_c = jnp.clip(mp, 0)
+    row_ok = row_ok & mp_sel[mp_c] & m.mp_valid[mp_c]
+    seg = jnp.where(row_ok, mp_c, MP)  # invalid rows -> scratch segment
+
+    # --- distinctive descriptor ---
+    desc = m.kf_desc.reshape(KF * NF, 8)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+    bits = bits.reshape(KF * NF, 256).astype(jnp.float32)
+    n_obs = jax.ops.segment_sum(
+        row_ok.astype(jnp.float32), seg, num_segments=MP + 1
+    )[:MP]
+    c = jax.ops.segment_sum(
+        bits * row_ok[:, None], seg, num_segments=MP + 1
+    )[:MP]  # (MP, 256) per-bit set counts
+    # score_o = sum_j a_j (n - c_j) + (1 - a_j) c_j = sum(c) + sum_j a_j (n - 2 c_j)
+    base = jnp.sum(c, axis=1)
+    sc = base[mp_c] + jnp.einsum(
+        "ob,ob->o", bits, (n_obs[mp_c, None] - 2.0 * c[mp_c])
+    )
+    sc = jnp.where(row_ok, sc, jnp.inf)
+    best = jnp.full((MP + 1,), jnp.inf).at[seg].min(sc)[:MP]
+    is_best = row_ok & (sc == best[mp_c])
+    # tie-break: lowest row index
+    rows = jnp.arange(KF * NF, dtype=jnp.int32)
+    first = jnp.full((MP + 1,), jnp.int32(1 << 30)).at[seg].min(
+        jnp.where(is_best, rows, jnp.int32(1 << 30))
+    )[:MP]
+    has = (first < (1 << 30)) & (n_obs >= 2)
+    new_desc = desc[jnp.clip(first, 0, KF * NF - 1)]
+    mp_desc = jnp.where(has[:, None], new_desc, m.mp_desc)
+
+    # --- normal + scale range ---
+    centers = -jnp.einsum("kji,kj->ki", m.kf_Rcw, m.kf_tcw)  # (KF, 3)
+    vec = m.mp_pos[mp_c] - centers[k_idx]
+    vn = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-9)
+    nsum = jax.ops.segment_sum(
+        vn * row_ok[:, None], seg, num_segments=MP + 1
+    )[:MP]
+    nrm = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+    new_normal = nsum / jnp.maximum(nrm, 1e-9)
+    mp_normal = jnp.where(has[:, None] & (nrm > 1e-9), new_normal, m.mp_normal)
+
+    # reference-KF distance + octave -> scale-invariance range
+    ref = m.mp_ref_kf
+    d_ref = jnp.linalg.norm(m.mp_pos - centers[ref], axis=-1)
+    is_ref_row = row_ok & (k_idx == ref[mp_c])
+    lvl = jax.ops.segment_max(
+        jnp.where(is_ref_row, m.kf_level.reshape(-1), 0), seg,
+        num_segments=MP + 1,
+    )[:MP]
+    n_levels = 8
+    sf = 1.2 ** jnp.arange(n_levels, dtype=m.mp_pos.dtype)
+    dmax = d_ref * sf[jnp.clip(lvl, 0, n_levels - 1)]
+    dmin = dmax / sf[n_levels - 1]
+    upd = has & m.mp_valid & (d_ref > 1e-6)
+    return m._replace(
+        mp_desc=mp_desc,
+        mp_normal=mp_normal,
+        mp_dmin=jnp.where(upd, dmin, m.mp_dmin),
+        mp_dmax=jnp.where(upd, dmax, m.mp_dmax),
+    )
+
+
+@jax.jit
 def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray):
     """Mark redundant keyframes invalid (reference ``KeyFrameCulling``,
     `src/LocalMapping.cc:982`: >=90% of a KF's points seen by >=3 other KFs).
@@ -250,34 +342,44 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
     window_mask: (KF,) candidates to consider; protect: (KF,) never cull
     (current KF, origin).  Returns the updated map.
     """
-    bound = m.kf_mp >= 0
+    MP = m.mp_pos.shape[0]
+    bound = (m.kf_mp >= 0) & m.kf_feat_valid
     mp_idx = jnp.clip(m.kf_mp, 0)
-    well_observed = m.mp_nobs[mp_idx] >= 4  # point survives without this KF
-    n_bound = jnp.sum(bound & m.kf_feat_valid, axis=1)
-    n_red = jnp.sum(bound & m.kf_feat_valid & well_observed, axis=1)
-    redundant = (
-        m.kf_valid
-        & window_mask
-        & ~protect
-        & (n_bound > 20)
-        & (n_red >= 0.9 * n_bound)
+
+    def redundancy(nobs):
+        well_observed = nobs[mp_idx] >= 4  # point survives without this KF
+        n_bound = jnp.sum(bound, axis=1)
+        n_red = jnp.sum(bound & well_observed, axis=1)
+        return (
+            m.kf_valid
+            & window_mask
+            & ~protect
+            & (n_bound > 20)
+            & (n_red >= 0.9 * n_bound)
+        )
+
+    # Two-pass joint accounting: first find all individually redundant KFs,
+    # then re-check against the JOINT observation loss (two culled KFs may
+    # share points; the reference's sequential loop can never over-cull, and
+    # neither can this recheck).  Culls every KF that survives the recheck —
+    # the reference also removes all redundant KFs per mapper pass
+    # (`src/LocalMapping.cc:982`), not one.
+    cand = redundancy(m.mp_nobs)
+    dec = jax.ops.segment_sum(
+        (bound & cand[:, None]).reshape(-1).astype(jnp.int32),
+        jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,
     )
-    # cull at most one keyframe per call (keeps nobs accounting exact)
-    first = jnp.argmax(redundant)
-    do = jnp.any(redundant)
-    kf_valid = m.kf_valid.at[first].set(jnp.where(do, False, m.kf_valid[first]))
-    dec = jnp.zeros_like(m.mp_nobs).at[mp_idx[first]].add(
-        (bound[first] & do).astype(jnp.int32)
+    cull = cand & redundancy(m.mp_nobs - dec)
+    dec_final = jax.ops.segment_sum(
+        (bound & cull[:, None]).reshape(-1).astype(jnp.int32),
+        jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,
     )
-    obs = m.obs_mat.at[first].set(
-        jnp.where(do, jnp.zeros_like(m.obs_mat[first]), m.obs_mat[first])
-    )
-    kf_mp_row = jnp.where(do, jnp.full_like(m.kf_mp[first], -1), m.kf_mp[first])
+    keep = ~cull
     return m._replace(
-        kf_valid=kf_valid,
-        mp_nobs=m.mp_nobs - dec,
-        obs_mat=obs,
-        kf_mp=m.kf_mp.at[first].set(kf_mp_row),
+        kf_valid=m.kf_valid & keep,
+        mp_nobs=m.mp_nobs - dec_final,
+        obs_mat=m.obs_mat & keep[:, None],
+        kf_mp=jnp.where(cull[:, None], -1, m.kf_mp),
     )
 
 

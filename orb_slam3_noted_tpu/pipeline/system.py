@@ -28,6 +28,7 @@ from orb_slam3_noted_tpu.ops import matching as M
 from orb_slam3_noted_tpu.ops import orb as O
 from orb_slam3_noted_tpu.pipeline import map_state as MS
 from orb_slam3_noted_tpu.pipeline import tracking as T
+from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
 
 NOT_INITIALIZED = "NOT_INITIALIZED"
 OK = "OK"
@@ -68,15 +69,16 @@ class MonoSLAM:
     def process(self, img, frame_id: int):
         """Feed one grayscale image (H, W), values in [0, 255]."""
         if self.state == NOT_INITIALIZED:
-            feats = O.extract_orb(
-                jnp.asarray(img, jnp.float32),
-                n_features=self.cfg.n_features,
-                n_levels=self.cfg.n_levels,
-                scale_factor=self.cfg.scale_factor,
-                th_high=self.cfg.ini_th_fast,
-                th_low=self.cfg.min_th_fast,
-            )
-            self._try_initialize(feats, frame_id)
+            with TIMER.stage("initialize"):
+                feats = O.extract_orb(
+                    jnp.asarray(img, jnp.float32),
+                    n_features=self.cfg.n_features,
+                    n_levels=self.cfg.n_levels,
+                    scale_factor=self.cfg.scale_factor,
+                    th_high=self.cfg.ini_th_fast,
+                    th_low=self.cfg.min_th_fast,
+                )
+                self._try_initialize(feats, frame_id)
         else:
             # fused hot path: uint8 upload + one device dispatch
             img_u8 = jnp.asarray(np.asarray(img).astype(np.uint8))
@@ -85,12 +87,15 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def process_batch(self, imgs, frame_ids):
-        """Throughput mode: track a batch of frames in one device dispatch.
+        """Throughput mode: track a batch of frames per device dispatch.
 
-        Keyframe decisions are evaluated once per batch on the last frame
-        (bounded-delay keyframing; the reference's mapper also inserts KFs
-        asynchronously).  Falls back to per-frame processing until the map
-        is initialized.
+        One scanned dispatch tracks the whole batch; the host then walks the
+        per-frame inlier counts, promotes the FIRST frame that needs a
+        keyframe (reference ``NeedNewKeyFrame`` policy, evaluated per frame,
+        not at the batch tail), inserts it in one fused dispatch, and
+        re-tracks the remaining frames of the batch against the updated map
+        WITHOUT re-extracting (``track_batch_feats``).  This keeps points
+        created mid-batch visible to the frames after the keyframe.
         """
         cfg = self.cfg
         i = 0
@@ -100,50 +105,95 @@ class MonoSLAM:
         if i >= len(imgs):
             return self.trajectory[-1] if self.trajectory else None
 
-        # pad to the full requested batch length so the jit signature stays
-        # fixed when initialization consumed a prefix (extra outputs dropped)
-        n_real = len(imgs) - i
-        batch = [np.asarray(f).astype(np.uint8) for f in imgs[i:]]
-        while len(batch) < len(imgs):
-            batch.append(batch[-1])
-        batch = np.stack(batch)
-        vel = self.vel if self.vel is not None else (
-            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
-        )
-        self.m, Rs, ts, n_inls, feats_last, mp_feat_last = T.track_batch(
-            self.m, jnp.asarray(batch), jnp.int32(self.last_kf_slot),
-            self.last_Rcw, self.last_tcw, vel, self.cam, cfg, bf=0.0,
-        )
-        n_inls = np.asarray(n_inls)[:n_real]
-        for k, fid in enumerate(frame_ids[i:]):
-            n = int(n_inls[k])
-            self.state = OK if n >= cfg.min_tracked_points else RECENTLY_LOST
-            self._record(fid, Rs[k], ts[k], n)
-            self.frames_since_kf += 1
-        # velocity from the last two REAL frames (padded tail would zero it)
-        li = n_real - 1
-        if n_real >= 2 and int(n_inls[li]) >= cfg.min_tracked_points:
-            self.vel = se3.compose(
-                (Rs[li], ts[li]), se3.inverse((Rs[li - 1], ts[li - 1]))
+        B = len(imgs)
+        batch_np = [np.asarray(f).astype(np.uint8) for f in imgs[i:]]
+        ids = list(frame_ids[i:])
+        n_real = len(batch_np)
+        pad = batch_np + [batch_np[-1]] * (B - n_real)
+        batch_dev = jnp.asarray(np.stack(pad))
+
+        pos = 0          # frames committed so far
+        feats_all = None  # device-resident features of the full batch
+        attempts = 0
+        while pos < n_real:
+            vel = self.vel if self.vel is not None else (
+                jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
             )
-        self.last_Rcw = Rs[li]
-        self.last_tcw = ts[li]
-        n_last = int(n_inls[li])
-        need_kf = (
-            self.state == OK
-            and (
-                self.frames_since_kf >= cfg.kf_max_interval
-                or n_last < cfg.kf_tracked_ratio * self.tracked_at_kf
-            )
-            and self.n_kf < cfg.max_keyframes - 1
-        )
-        if need_kf:
-            # feats_last/mp_feat_last come from the last scanned frame; with
-            # padding that is a duplicate of the last real frame, so use its
-            # scanned pose (Rs[-1]) for consistency with those features
-            self._insert_keyframe(
-                feats_last, frame_ids[-1], Rs[-1], ts[-1], mp_feat_last, n_last
-            )
+            if feats_all is None:
+                with TIMER.stage("track_batch"):
+                    self.m, Rs, ts, n_inls, feats_all, mp_feats = T.track_batch(
+                        self.m, batch_dev, jnp.int32(self.last_kf_slot),
+                        self.last_Rcw, self.last_tcw, vel, self.cam, cfg,
+                        bf=0.0,
+                    )
+                    n_np = np.asarray(n_inls)
+                    Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
+                offset = 0
+            else:
+                # roll so the next uncommitted frame leads; wrapped tail
+                # frames are tracked but ignored
+                with TIMER.stage("track_batch_feats"):
+                    rolled = jax.tree_util.tree_map(
+                        lambda x: jnp.roll(x, -pos, axis=0), feats_all
+                    )
+                    self.m, Rs, ts, n_inls, _, mp_feats = T.track_batch_feats(
+                        self.m, rolled, jnp.int32(self.last_kf_slot),
+                        self.last_Rcw, self.last_tcw, vel, self.cam, cfg,
+                        bf=0.0,
+                    )
+                    n_np = np.asarray(n_inls)
+                    Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
+                offset = pos
+
+            # walk frames, committing until a keyframe trigger fires
+            k_kf = None
+            for k in range(n_real - pos):
+                j = pos + k          # batch index of this frame
+                d = j - offset       # index into this dispatch's outputs
+                n = int(n_np[d])
+                ok = n >= cfg.min_tracked_points
+                self.state = OK if ok else RECENTLY_LOST
+                self.frames_since_kf += 1
+                # numpy rows: one bulk device->host pull per dispatch; a
+                # per-frame np.asarray(Rs[k]) costs a tunnel round-trip each
+                self._record(ids[j], Rs_np[d], ts_np[d], n)
+                if ok and d >= 1:
+                    Rv = Rs_np[d] @ Rs_np[d - 1].T
+                    self.vel = (Rv, ts_np[d] - Rv @ ts_np[d - 1])
+                need = (
+                    ok
+                    and self.n_kf < cfg.max_keyframes - 1
+                    and (
+                        self.frames_since_kf >= cfg.kf_max_interval
+                        or n < cfg.kf_tracked_ratio * self.tracked_at_kf
+                    )
+                )
+                if need:
+                    k_kf = j
+                    feats_k = jax.tree_util.tree_map(
+                        lambda x: x[j - offset], feats_all if offset == 0
+                        else rolled
+                    )
+                    self._insert_keyframe(
+                        feats_k, ids[j], Rs_np[d], ts_np[d], mp_feats[d], n
+                    )
+                    break
+            if k_kf is None:
+                pos = n_real
+            else:
+                pos = k_kf + 1
+                attempts += 1
+                if attempts >= 3:
+                    # safety: commit the rest without further re-tracks
+                    for k in range(pos, n_real):
+                        d = k - offset
+                        n = int(n_np[d])
+                        self.state = (
+                            OK if n >= cfg.min_tracked_points else RECENTLY_LOST
+                        )
+                        self.frames_since_kf += 1
+                        self._record(ids[k], Rs_np[d], ts_np[d], n)
+                    pos = n_real
         return self.trajectory[-1]
 
     # ------------------------------------------------------------------
@@ -346,51 +396,28 @@ class MonoSLAM:
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
                          uvr=None, depth=None):
+        """One fused device dispatch for the whole mapper pass.
+
+        ``T.insert_keyframe_step`` runs add-KF -> depth points ->
+        triangulation -> fuse -> cull -> local BA -> KF cull on device; the
+        host syncs only the new allocation pointer.
+        """
         cfg = self.cfg
         slot = self.n_kf
-        uvr_arr = uvr if uvr is not None else jnp.full(
-            (cfg.n_features,), -1.0, jnp.float32
+        NF = cfg.n_features
+        uvr_arr = uvr if uvr is not None else jnp.full((NF,), -1.0, jnp.float32)
+        depth_arr = depth if depth is not None else jnp.full(
+            (NF,), -1.0, jnp.float32
         )
-        m = MS.add_keyframe(
-            self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
-            feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
-            mp_of_feat, uvr_arr,
-        )
-        self.n_kf += 1
-
-        # stereo/RGB-D: create close points directly from depth
-        if depth is not None and self.n_mp < cfg.max_map_points - cfg.n_features:
-            out = T.stereo_points_from_depth(
-                m, jnp.int32(slot), depth, self.cam, cfg, bf=cfg.bf
+        with TIMER.stage("insert_keyframe"):
+            self.m, n_mp = T.insert_keyframe_step(
+                self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
+                feats, mp_of_feat, uvr_arr, depth_arr, jnp.int32(self.n_mp),
+                self.cam, cfg, n_neighbors=4, bf=cfg.bf,
+                has_depth=depth is not None,
             )
-            m, added = self._add_candidates(m, slot, out)
-
-        # triangulate new points against the best covisible neighbours
-        w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
-        neighbors = np.argsort(-w)[:2]
-        for nb in neighbors:
-            if w[nb] <= 0 or self.n_mp >= cfg.max_map_points - cfg.n_features:
-                continue
-            out = T.triangulate_between(m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg)
-            m, _ = self._add_candidates(m, slot, out, kf_b=int(nb))
-
-        # fuse duplicate points with the local map (SearchInNeighbors), cull
-        # weak recent points (MapPointCulling), then local BA and keyframe
-        # culling — the reference mapper's pipeline order
-        mp_mask, kf_mask = MS.local_map_mask(
-            m, jnp.int32(slot), n_neighbors=cfg.local_window
-        )
-        m = T.fuse_map_points(m, jnp.int32(slot), mp_mask, self.cam, cfg)
-        m = MS.cull_map_points(m, jnp.int32(slot))
-        m = T.local_ba(
-            m, jnp.int32(slot), self.cam, cfg,
-            window=cfg.local_window, bf=cfg.bf,
-        )
-        protect = (
-            jnp.zeros(cfg.max_keyframes, bool).at[slot].set(True).at[0].set(True)
-        )
-        m = MS.cull_keyframes(m, kf_mask, protect)
-        self.m = m
+            self.n_kf += 1
+            self.n_mp = int(n_mp)
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
@@ -400,16 +427,27 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def _maybe_close_loop(self, slot, feats):
-        """Lazy loop-closer construction (vocabulary trained on first KF)."""
+        """Lazy loop-closer construction.
+
+        Uses the shipped pretrained 32k-word vocabulary
+        (:mod:`orb_slam3_noted_tpu.place.pretrained`, the analogue of the
+        reference's ORBvoc load at `src/System.cc:85-101`); falls back to
+        training a small vocabulary from the first keyframe only when the
+        asset is absent.
+        """
         from orb_slam3_noted_tpu.pipeline.loop_closing import LoopCloser
         from orb_slam3_noted_tpu.place import train_vocabulary
+        from orb_slam3_noted_tpu.place.pretrained import load_default_vocabulary
 
         if self.loop_closer is None:
-            desc = np.asarray(feats.desc)[np.asarray(feats.valid)]
-            vocab = train_vocabulary(
-                desc, n_words=min(self.cfg.vocab_words, max(len(desc) // 2, 16)),
-                n_iters=6,
-            )
+            vocab = load_default_vocabulary()
+            if vocab is None:
+                desc = np.asarray(feats.desc)[np.asarray(feats.valid)]
+                vocab = train_vocabulary(
+                    desc,
+                    n_words=min(self.cfg.vocab_words, max(len(desc) // 2, 16)),
+                    n_iters=6,
+                )
             self.loop_closer = LoopCloser(
                 vocab, self.cfg.max_keyframes,
                 min_inliers=self.cfg.loop_min_inliers,
@@ -523,6 +561,74 @@ class StereoSLAM(MonoSLAM):
         )
         self.n_mp += n_new
         return m, n_new
+
+
+class FisheyeStereoSLAM(StereoSLAM):
+    """Non-rectified (Kannala-Brandt) stereo SLAM — the TUM-VI configuration.
+
+    The reference handles fisheye stereo without rectification: descriptors
+    are matched inside the two cameras' lapping areas and triangulated
+    directly with the known extrinsic ``Tlr``
+    (``Frame::ComputeStereoFishEyeMatches`` `/root/reference/src/Frame.cc:1116`,
+    ``KannalaBrandt8::TriangulateMatches``
+    `src/CameraModels/KannalaBrandt8.cpp:236`).  Map points inherit metric
+    scale from the triangulated left-frame depth; observations stay mono
+    (u, v) residuals under the KB8 model (no rectified u_right exists), which
+    matches the reference's two-mono-edge formulation for fisheye stereo.
+
+    Requires cfg.camera/camera2 (KB8), cfg.tlr_r/tlr_t, cfg.lapping_l/r.
+    cfg.bf must be baseline * fx (the reference's ``Camera.bf``, set for
+    TUM-VI fisheye configs too) — it scales the close-point threshold.
+    """
+
+    MIN_INIT_POINTS = 100  # lapping area covers only part of the frame
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        assert cfg.camera2 is not None, "camera2 required for fisheye stereo"
+        self.cam2 = cfg.camera2
+        import numpy as _np
+
+        self.Rlr = jnp.asarray(
+            _np.asarray(cfg.tlr_r, _np.float32).reshape(3, 3)
+            if cfg.tlr_r else _np.eye(3, dtype=_np.float32)
+        )
+        self.tlr = jnp.asarray(cfg.tlr_t, jnp.float32)
+
+    def process(self, img_left, img_right, frame_id: int):
+        from orb_slam3_noted_tpu.ops.fisheye_stereo import match_fisheye_stereo
+
+        cfg = self.cfg
+        iml = jnp.asarray(img_left, jnp.float32)
+        imr = jnp.asarray(img_right, jnp.float32)
+        kw = dict(
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        feats = O.extract_orb(iml, **kw)
+        feats_r = O.extract_orb(imr, **kw)
+        sm = match_fisheye_stereo(
+            feats, feats_r, self.cam, self.cam2, self.Rlr, self.tlr,
+            lap_l=tuple(cfg.lapping_l), lap_r=tuple(cfg.lapping_r),
+            level_sigma2=jnp.asarray(cfg.level_sigma2, jnp.float32),
+        )
+        depth = jnp.where(sm.valid, sm.depth, -1.0)
+        # No rectified right-u exists for KB8; instead the triangulated depth
+        # becomes a virtual-right observation u_r = u - bf/z (the reference's
+        # RGB-D construction, `include/Frame.h:117`), which adds the depth
+        # residual row to pose opt / BA and pins the metric scale that pure
+        # mono residuals leave free.
+        uvr = jnp.where(
+            sm.valid & (depth > 0.05),
+            feats.xy[:, 0] - cfg.bf / jnp.maximum(depth, 1e-6), -1.0,
+        )
+
+        if self.state == NOT_INITIALIZED:
+            self._stereo_initialize(feats, frame_id, uvr, depth)
+        else:
+            self._track(feats, frame_id, uvr=uvr, depth=depth)
+        return self.trajectory[-1] if self.trajectory else None
 
 
 class RGBDSLAM(StereoSLAM):

@@ -92,6 +92,8 @@ def match_local_map(
     cam: cam_mod.Camera,
     cfg: SlamConfig,
     feat_uvr: jnp.ndarray | None = None,
+    radius_scale: float | jnp.ndarray = 1.0,
+    max_dist: int = M.TH_HIGH,
 ):
     """Project local map points into the frame and associate features.
 
@@ -106,12 +108,12 @@ def match_local_map(
     )
     vis = visible & local_mp_mask
     sf = jnp.asarray(O.scale_factors(cfg.n_levels, cfg.scale_factor), uv_pred.dtype)
-    radius = cfg.search_radius_px * sf[level_pred]
+    radius = cfg.search_radius_px * radius_scale * sf[level_pred]
     mm = M.search_by_projection(
         uv_pred, radius, level_pred,
         m.mp_desc, vis,
         feats.xy, feats.level, feats.desc, feats.valid,
-        max_dist=M.TH_HIGH, ratio=cfg.nn_ratio_track,
+        max_dist=max_dist, ratio=cfg.nn_ratio_track,
     )
     mm = M.resolve_duplicates(mm, feats.xy.shape[0])
 
@@ -158,8 +160,34 @@ def track_frame(
         m, feats, Rcw_pred, tcw_pred, local_mp_mask, cam, cfg,
         feat_uvr=feat_uvr,
     )
-    matched = obs.valid
     res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs, bf=bf)
+
+    # Fallback when the narrow search fails: re-match with a 3x radius and
+    # relaxed level window, then re-optimize — the batched analogue of the
+    # reference's wider-window retry / TrackReferenceKeyFrame rescue
+    # (`/root/reference/src/Tracking.cc:1795-1888`, `ORBmatcher` th*2 paths).
+    # lax.cond keeps the extra matmul off the hot path when tracking is good.
+    def _retry(args):
+        res0 = args
+        good_seed = res0.n_inliers >= 10
+        Rs = jnp.where(good_seed, res0.Rcw, Rcw_pred)
+        ts = jnp.where(good_seed, res0.tcw, tcw_pred)
+        obs2, f_idx2, vis2 = match_local_map(
+            m, feats, Rs, ts, local_mp_mask, cam, cfg,
+            feat_uvr=feat_uvr, radius_scale=3.0,
+        )
+        res2 = pose_optimization(cam, Rs, ts, m.mp_pos, obs2, bf=bf)
+        use2 = res2.n_inliers > res0.n_inliers
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(use2, x, y), a, b
+        )
+        return sel(res2, res0), sel(obs2, obs), sel(f_idx2, f_idx), sel(vis2, vis)
+
+    res, obs, f_idx, vis = jax.lax.cond(
+        res.n_inliers < 25, _retry,
+        lambda args: (args, obs, f_idx, vis), res,
+    )
+    matched = obs.valid
 
     # mp id per frame feature (for keyframe binding): invert the matching.
     # Non-kept entries scatter into a scratch slot (NF) that is sliced away.
@@ -321,25 +349,60 @@ def track_batch(
     The TPU-throughput mode: per-frame host round-trips dominate wall time
     over a thin link, so B frames scan on-device with the constant-velocity
     model threaded through the carry; the host syncs once per batch.
-    Keyframe decisions happen between batches (a bounded-delay version of
-    the reference's asynchronous keyframe insertion).
+    Keyframe insertion happens between dispatches, at the FRAME that needs
+    it: per-frame features/bindings are returned for the whole batch so the
+    host can promote any frame to a keyframe (a bounded-delay version of the
+    reference's asynchronous keyframe insertion).
 
-    Returns (Rcw (B,3,3), tcw (B,3), n_inl (B,), feats of the LAST frame,
-    mp_of_feat of the last frame).
+    Returns (m, Rcw (B,3,3), tcw (B,3), n_inl (B,), feats of ALL frames
+    (leading B axis), mp_of_feat (B, NF)).
     """
-    mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
+    imgs = imgs_u8
 
-    MP = m.mp_pos.shape[0]
-
-    def step(carry, img_u8):
-        Rprev, tprev, Rv, tv, vis_c, found_c = carry
-        Rp, tp = se3.compose((Rv, tv), (Rprev, tprev))
-        img = img_u8.astype(jnp.float32)
-        feats = O.extract_orb(
-            img, n_features=cfg.n_features, n_levels=cfg.n_levels,
+    def extract(img_u8):
+        return O.extract_orb(
+            img_u8.astype(jnp.float32),
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
             scale_factor=cfg.scale_factor,
             th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
         )
+
+    return _track_scan(
+        m, imgs, extract, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def track_batch_feats(
+    m: MS.MapArrays,
+    feats_all: O.FrameFeatures,  # (B, ...) stacked features (already extracted)
+    last_kf_slot: jnp.ndarray,
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    vel0: tuple,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float = 0.0,
+):
+    """Re-track already-extracted frames against an updated map.
+
+    Used after a mid-batch keyframe insertion: extraction is ~3/4 of the
+    per-frame cost and the features do not change, so the remaining frames
+    of a batch re-run matching + pose optimization only.
+    """
+    return _track_scan(
+        m, feats_all, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf
+    )
+
+
+def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf):
+    mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
+    MP = m.mp_pos.shape[0]
+
+    def step(carry, x):
+        Rprev, tprev, Rv, tv, vis_c, found_c = carry
+        Rp, tp = se3.compose((Rv, tv), (Rprev, tprev))
+        feats = to_feats(x)
         Rcw, tcw, n_inl, mp_of_feat, vis, found = track_frame(
             m, feats, Rp, tp, mp_mask, cam, cfg, feat_uvr=None, bf=bf
         )
@@ -359,11 +422,10 @@ def track_batch(
     z = jnp.zeros(MP, jnp.int32)
     carry0 = (Rcw0, tcw0, vel0[0], vel0[1], z, z)
     (_, _, _, _, vis_c, found_c), (Rs, ts, n_inls, feats_all, mp_feats) = (
-        jax.lax.scan(step, carry0, imgs_u8)
+        jax.lax.scan(step, carry0, xs)
     )
     m = m._replace(mp_visible=m.mp_visible + vis_c, mp_found=m.mp_found + found_c)
-    last = jax.tree_util.tree_map(lambda x: x[-1], feats_all)
-    return m, Rs, ts, n_inls, last, mp_feats[-1]
+    return m, Rs, ts, n_inls, feats_all, mp_feats
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
@@ -515,6 +577,90 @@ def fuse_map_points(
         mp_valid=m.mp_valid & ~is_loser,
         mp_nobs=nobs_new,
     )
+
+
+def _add_candidates_dev(m, slot, out, n_mp, kf_b_override=None):
+    """Device-side map-point allocation: insert accepted candidates at
+    consecutive slots starting at n_mp; returns (m, new n_mp).
+
+    The jit-graph version of the host `_add_candidates` (no sync): overflow
+    past capacity lands in the scratch slot and is invalidated by
+    ``add_map_points`` itself.
+    """
+    pos_w, desc, normal, dmin, dmax, feat_a, feat_b, accept = out
+    MP = m.mp_pos.shape[0]
+    offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    stored = accept & (n_mp + offs < MP - 1)
+    kf_b = slot if kf_b_override is None else kf_b_override
+    m = MS.add_map_points(
+        m, n_mp, pos_w, desc, normal, dmin, dmax,
+        slot, accept, slot, feat_a, kf_b, feat_b,
+    )
+    return m, n_mp + jnp.sum(stored.astype(jnp.int32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "cfg", "n_neighbors", "bf", "has_depth"),
+)
+def insert_keyframe_step(
+    m: MS.MapArrays,
+    slot: jnp.ndarray,          # () int32 keyframe slot
+    Rcw: jnp.ndarray,
+    tcw: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    feats: O.FrameFeatures,
+    mp_of_feat: jnp.ndarray,    # (NF,) map-point binding per feature
+    uvr: jnp.ndarray,           # (NF,) stereo right-u or -1
+    depth: jnp.ndarray,         # (NF,) stereo depth or -1 (ignored unless has_depth)
+    n_mp: jnp.ndarray,          # () int32 allocation pointer
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    n_neighbors: int = 2,
+    bf: float = 0.0,
+    has_depth: bool = False,
+):
+    """ONE device dispatch for the whole synchronous mapper pass.
+
+    Sequence mirrors ``LocalMapping::Run`` (`/root/reference/src/
+    LocalMapping.cc:64-294`): insert KF -> (stereo) depth-seeded points ->
+    triangulate against the top covisible neighbours -> SearchInNeighbors
+    fuse -> MapPointCulling -> local BA -> KeyFrameCulling.  The host only
+    syncs the new allocation pointer; everything else stays on device,
+    so keyframe frames no longer cost a chain of dispatch round-trips.
+    """
+    m = MS.add_keyframe(
+        m, slot, Rcw, tcw, frame_id,
+        feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
+        mp_of_feat, uvr,
+    )
+    if has_depth:
+        out = stereo_points_from_depth(m, slot, depth, cam, cfg, bf=bf)
+        m, n_mp = _add_candidates_dev(m, slot, out, n_mp)
+
+    w = MS.covisibility_weights(m, slot)
+    _, top_i = jax.lax.top_k(w, n_neighbors)
+    for k in range(n_neighbors):
+        nb = top_i[k].astype(jnp.int32)
+        out = triangulate_between(m, slot, nb, cam, cfg)
+        accept = out[-1] & (w[nb] > 0)
+        m, n_mp = _add_candidates_dev(
+            m, slot, out[:-1] + (accept,), n_mp, kf_b_override=nb
+        )
+
+    mp_mask, kf_mask = MS.local_map_mask(m, slot, n_neighbors=cfg.local_window)
+    m = fuse_map_points(m, slot, mp_mask, cam, cfg)
+    m = MS.cull_map_points(m, slot)
+    # refresh distinctive descriptors / normals / depth ranges of the points
+    # whose observations just changed (reference MapPoint::
+    # ComputeDistinctiveDescriptors + UpdateNormalAndDepth after fuse)
+    m = MS.update_point_stats(m, mp_mask)
+    m = local_ba(m, slot, cam, cfg, window=cfg.local_window, bf=bf)
+    protect = (
+        jnp.zeros(m.kf_valid.shape[0], bool).at[slot].set(True).at[0].set(True)
+    )
+    m = MS.cull_keyframes(m, kf_mask, protect)
+    return m, n_mp
 
 
 # ---------------------------------------------------------------------------

@@ -56,22 +56,73 @@ class KeyFrameDatabase:
         exclude_mask: np.ndarray,
         n_best: int = 3,
         min_rel_score: float = 0.75,
+        covis: np.ndarray | None = None,
     ):
         """Best-scoring non-excluded keyframes (loop/merge candidates).
 
-        Mirrors ``DetectNBestCandidates``: covisible keyframes of the query
-        are excluded (exclude_mask), candidates must reach a fraction of the
-        best score.  Returns (slots (n_best,), scores (n_best,)) as numpy;
-        slots with score <= 0 are invalid.
+        Without ``covis`` this is the simple best-score policy.  With a
+        (KF, KF) covisibility-weight matrix it implements the full
+        ``DetectNBestCandidates`` pipeline
+        (`/root/reference/src/KeyFrameDatabase.cc:611-700`):
+
+        1. common-word count vs the query per stored KF; candidates must
+           reach 0.8x the maximum ("minCommonWords");
+        2. L1 BoW score for surviving candidates;
+        3. scores accumulated over each candidate's top-10 covisibility
+           group ("accScore"), because a true loop re-observes a *place*,
+           i.e. several covisible keyframes score together;
+        4. the best single keyframe of each of the top groups is returned.
+
+        Returns (slots, scores) lists (possibly shorter than n_best).
         """
         scores = np.array(_score_all(self.bow_mat, bow_q))  # writable copy
-        scores[~self.present] = -1.0
-        scores[np.asarray(exclude_mask, bool)] = -1.0
-        order = np.argsort(-scores)[:n_best]
-        best = scores[order[0]] if len(order) else -1.0
+        alive = self.present & ~np.asarray(exclude_mask, bool)
+        scores[~alive] = -1.0
+        if covis is None:
+            order = np.argsort(-scores)[:n_best]
+            best = scores[order[0]] if len(order) else -1.0
+            out_slots, out_scores = [], []
+            for s in order:
+                if scores[s] > 0 and scores[s] >= min_rel_score * best:
+                    out_slots.append(int(s))
+                    out_scores.append(float(scores[s]))
+            return out_slots, out_scores
+
+        # --- full policy ---
+        qpres = np.asarray(bow_q) > 0
+        pres = np.asarray(self.bow_mat) > 0
+        common = (pres & qpres[None, :]).sum(axis=1)
+        common = np.where(alive, common, 0)
+        max_common = common.max() if common.size else 0
+        if max_common < 1:
+            return [], []
+        cand = alive & (common >= 0.8 * max_common) & (scores > 0)
+        if not cand.any():
+            return [], []
+        cand_scores = np.where(cand, scores, 0.0)
+
+        # top-10 covisibility group per candidate (incl. itself)
+        KF = len(scores)
+        cv = np.asarray(covis, np.float32).copy()
+        np.fill_diagonal(cv, 0.0)
+        top10 = np.argsort(-cv, axis=1)[:, :10]
+        group = np.zeros((KF, KF), bool)
+        rows = np.repeat(np.arange(KF), 10)
+        group[rows, top10.reshape(-1)] = cv[rows, top10.reshape(-1)] > 0
+        np.fill_diagonal(group, True)
+
+        acc = group @ cand_scores                      # (KF,) group score
+        acc = np.where(cand, acc, -1.0)
+        best_acc = acc.max()
         out_slots, out_scores = [], []
-        for s in order:
-            if scores[s] > 0 and scores[s] >= min_rel_score * best:
-                out_slots.append(int(s))
-                out_scores.append(float(scores[s]))
+        for g in np.argsort(-acc):
+            if acc[g] < min_rel_score * best_acc or acc[g] <= 0:
+                break
+            members = np.where(group[g], cand_scores, -1.0)
+            s = int(np.argmax(members))
+            if members[s] > 0 and s not in out_slots:
+                out_slots.append(s)
+                out_scores.append(float(members[s]))
+            if len(out_slots) >= n_best:
+                break
         return out_slots, out_scores

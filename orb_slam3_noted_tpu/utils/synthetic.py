@@ -78,6 +78,32 @@ class BoxRoom:
         ys = (np.arange(height, dtype=np.float64) - cy) / fy
         gx, gy = np.meshgrid(xs, ys)
         dirs_c = np.stack([gx, gy, np.ones_like(gx)], axis=-1)  # (H, W, 3)
+        return self._render_dirs(Rwc, twc, dirs_c, return_depth)
+
+    def render_fisheye(
+        self, Rwc: np.ndarray, twc: np.ndarray, cam, width, height,
+        return_depth: bool = False,
+    ):
+        """Render through a Kannala-Brandt camera model.
+
+        ``cam`` is a :class:`orb_slam3_noted_tpu.models.cameras.Camera`;
+        per-pixel rays come from the model's unprojection so rendered images
+        are exactly consistent with the library's KB8 geometry.
+        """
+        import jax.numpy as jnp
+
+        from orb_slam3_noted_tpu.models import cameras as cam_mod
+
+        uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+        uv = jnp.asarray(
+            np.stack([uu, vv], axis=-1).reshape(-1, 2).astype(np.float32)
+        )
+        rays = np.asarray(cam_mod.unproject(cam, uv), np.float64)
+        dirs_c = rays.reshape(height, width, 3)
+        return self._render_dirs(Rwc, twc, dirs_c, return_depth)
+
+    def _render_dirs(self, Rwc, twc, dirs_c, return_depth):
+        height, width = dirs_c.shape[:2]
         dirs_w = dirs_c @ Rwc.T  # rotate to world
         o = twc
 
@@ -116,8 +142,13 @@ def stereo_pair(room: BoxRoom, Rwc, twc, cam_params, width, height, baseline):
     return left, right, depth
 
 
-def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1):
-    """Camera-to-world poses: gentle lateral arc + forward motion + yaw."""
+def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1, yaw0=0.0):
+    """Camera-to-world poses: gentle lateral arc + forward motion + yaw.
+
+    ``yaw0`` aims the camera off the room axis (toward a corner) so several
+    planes share the view — a plane-dominated view is a known-degenerate
+    monocular initialization case (Faugeras conjugate ambiguity).
+    """
     from orb_slam3_noted_tpu.geometry import so3
     import jax.numpy as jnp
 
@@ -128,7 +159,7 @@ def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1):
         twc = np.array(
             [radius * np.sin(0.8 * s), 0.15 * np.sin(1.7 * s), forward * i]
         )
-        yaw = 0.12 * np.sin(2.1 * s)
+        yaw = yaw0 + 0.12 * np.sin(2.1 * s)
         pitch = 0.04 * np.sin(1.3 * s + 0.5)
         Rwc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, 0.0])))
         poses.append((Rwc, twc))

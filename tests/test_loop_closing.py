@@ -140,7 +140,8 @@ def test_loop_detect_and_correct(rng):
     # vocabulary trained on scene-like descriptors
     train = np.concatenate([desc, rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)])
     vocab = train_vocabulary(train, n_words=256, n_iters=4)
-    lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3)
+    lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3,
+                    consistency_th=1)
 
     slam = FakeSlam(m, n_kf)
     # register all earlier keyframes in the database
@@ -162,3 +163,28 @@ def test_loop_detect_and_correct(rng):
     assert np.median(err) < 0.15 * np.median(before), (
         np.median(err), np.median(before)
     )
+
+
+def test_temporal_consistency_gates_single_hit(rng):
+    """With the reference's 3-hit policy a single detection must NOT correct."""
+    m, n_kf, pts, S_drift, desc = build_drifted_map(rng)
+    tail = n_kf - 1
+    train = np.concatenate(
+        [desc, rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)]
+    )
+    vocab = train_vocabulary(train, n_words=256, n_iters=4)
+    lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3,
+                    consistency_th=3)
+    slam = FakeSlam(m, n_kf)
+    for k in range(tail):
+        _, bow = lc.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
+        lc.db.add(k, bow)
+
+    assert not lc.on_keyframe(slam, tail), "one hit must not close with th=3"
+    assert len(lc.consistent_groups) > 0  # candidate recorded for next KF
+    # feeding the SAME keyframe again simulates consecutive re-detections of
+    # the same place: the counter must ripen and eventually allow the close
+    lc.db.erase(tail)
+    assert not lc.on_keyframe(slam, tail)
+    lc.db.erase(tail)
+    assert lc.on_keyframe(slam, tail), "3rd consistent hit should close"
