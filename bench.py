@@ -28,6 +28,7 @@ def main():
         camera=cam, width=W, height=H, n_features=nfeat,
         max_keyframes=64, max_map_points=8192,
         local_window=5, kf_max_interval=10,
+        enable_loop_closing=True,  # place recognition + detection in the loop
     )
     room = BoxRoom(seed=0)
     n_frames = 40
@@ -69,6 +70,48 @@ def main():
 
     ok = sum(1 for r in slam.trajectory if r.state == "OK")
     fps = n_frames / wall
+
+    # --- stereo lap (secondary metric; primary mono line printed LAST) ---
+    from orb_slam3_noted_tpu.pipeline.system import StereoSLAM
+    from orb_slam3_noted_tpu.utils.synthetic import stereo_pair
+
+    bf = 0.11 * 458.654
+    cfg_s = SlamConfig(
+        camera=cam, width=W, height=H, n_features=nfeat,
+        bf=bf, th_depth=45.0,
+        max_keyframes=64, max_map_points=16384,
+        local_window=5, kf_max_interval=10,
+    )
+    n_s = 24
+    poses_s = orbit_trajectory(n_s, forward=0.05, yaw0=0.45)
+    pairs = [
+        stereo_pair(room, R, t, cam.params, W, H, 0.11)[:2] for R, t in poses_s
+    ]
+
+    def run_stereo():
+        s = StereoSLAM(cfg_s)
+        for i, (l, r) in enumerate(pairs):
+            s.process(l, r, i)
+        return s
+
+    run_stereo()  # warm-up/compile
+    t0 = time.time()
+    s = run_stereo()
+    wall_s = time.time() - t0
+    ok_s = sum(1 for r in s.trajectory if r.state == "OK")
+    fps_s = n_s / wall_s
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_tracked_fps_752x480_1200feat",
+                "value": round(fps_s, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps_s / 20.0, 3),
+                "tracked_frames": ok_s,
+                "n_frames": n_s,
+            }
+        )
+    )
     print(
         json.dumps(
             {

@@ -39,17 +39,55 @@ class Sequence:
     def __len__(self):
         return len(self.timestamps)
 
-    def read(self, i: int):
-        """Grayscale float32 image(s) for frame i."""
+    def _native_loader(self, paths):
+        """Native C++ prefetching PNG decoder (``native/slamrt.cpp``);
+        returns None when unavailable (non-PNG data, build failure)."""
+        if not paths or not paths[0].lower().endswith(".png"):
+            return None
+        try:
+            from orb_slam3_noted_tpu.native import (
+                PrefetchingLoader,
+                load_image_gray,
+            )
+
+            probe = load_image_gray(paths[0])
+            return PrefetchingLoader(
+                paths, probe.shape[1], probe.shape[0],
+                n_buffers=8, n_threads=2,
+            )
+        except Exception:
+            return None
+
+    def _read_side(self, paths, i, attr):
+        loader = getattr(self, attr, None)
+        if loader is None and not getattr(self, attr + "_failed", False):
+            loader = self._native_loader(paths)
+            object.__setattr__(self, attr, loader)
+            if loader is None:
+                object.__setattr__(self, attr + "_failed", True)
+        if loader is not None:
+            try:
+                return loader.get(i).astype(np.float32)
+            except Exception:
+                object.__setattr__(self, attr, None)
+                object.__setattr__(self, attr + "_failed", True)
         import cv2
 
-        left = cv2.imread(self.left_paths[i], cv2.IMREAD_GRAYSCALE)
-        if left is None:
-            raise FileNotFoundError(self.left_paths[i])
-        left = left.astype(np.float32)
+        img = cv2.imread(paths[i], cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(paths[i])
+        return img.astype(np.float32)
+
+    def read(self, i: int):
+        """Grayscale float32 image(s) for frame i.
+
+        Feeds through the native prefetcher (reference's producer/consumer
+        image pipeline, SURVEY §2.3 row "queues") with a cv2 fallback.
+        """
+        left = self._read_side(self.left_paths, i, "_lloader")
         if self.right_paths is not None:
-            right = cv2.imread(self.right_paths[i], cv2.IMREAD_GRAYSCALE)
-            return left, right.astype(np.float32)
+            right = self._read_side(self.right_paths, i, "_rloader")
+            return left, right
         return left
 
 

@@ -147,6 +147,9 @@ def detect_level(
     ky = flat_y[top_idx]
     kx = flat_x[top_idx]
     valid = top_s > neg / 2
+    # (No sub-pixel refinement: a quadratic fit of the FAST score peak is
+    # biased — measured WORSE end-to-end ATE than integer corners, and
+    # OpenCV ORB keeps integer corners too.)
     xy = jnp.stack([kx, ky], axis=-1).astype(jnp.float32)
     return Keypoints(xy=xy, score=jnp.where(valid, top_s, 0.0), valid=valid)
 

@@ -266,6 +266,91 @@ def global_bundle_adjust(
     )
 
 
+def distributed_global_ba(
+    cam: cam_mod.Camera,
+    mesh,
+    prob: BAProblem,
+    bf: float = 0.0,
+    n_iters: int = 8,
+    n_iters_final: int = 4,
+    cg_iters: int = 32,
+):
+    """Matrix-free GBA with the observation table sharded over a device mesh.
+
+    The multi-host north star (SURVEY §2.3, BASELINE.json): every device
+    evaluates residual blocks for its observation shard; the (K,6)/(M,3)
+    segment sums inside the Schur matvec and the preconditioner are reduced
+    with ``psum`` over ICI, so each CG iteration communicates O(K*6 + M*3)
+    floats — not the observation set.  The LM outer loop keeps the
+    cost-checked adaptive damping (accept/reject) of the single-chip engine;
+    all devices see identical psum'd costs, so control flow stays in
+    lockstep.  Returns (Rcw, tcw, points, cost), replicated.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from orb_slam3_noted_tpu.parallel.dist_ba import pad_obs_for_mesh
+
+    axis = mesh.axis_names[0]
+    obs = pad_obs_for_mesh(prob.obs, mesh.size)
+    rep = P()
+    shard = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, rep, rep,
+                  jax.tree_util.tree_map(lambda _: shard, obs),
+                  rep, rep),
+        out_specs=(rep, rep, rep, rep),
+    )
+    def run(Rcw, tcw, points, obs_shard, p_fix, l_fix):
+        psum = lambda x: jax.lax.psum(x, axis)
+        prob_l = BAProblem(
+            Rcw=Rcw, tcw=tcw, points=points, obs=obs_shard,
+            pose_fixed=p_fix, point_fixed=l_fix,
+        )
+
+        def phase(Rcw, tcw, points, active, use_huber, n):
+            def body(_, st):
+                Rcw, tcw, points, lam = st
+                Rcw, tcw, points, lam, _ = _gba_lm_step(
+                    cam, Rcw, tcw, points, obs_shard, prob_l, active,
+                    use_huber, lam, bf, cg_iters, psum=psum,
+                )
+                return (Rcw, tcw, points, lam)
+
+            Rcw, tcw, points, _ = jax.lax.fori_loop(
+                0, n, body, (Rcw, tcw, points, jnp.asarray(1e-4, tcw.dtype))
+            )
+            return Rcw, tcw, points
+
+        Rcw, tcw, points = phase(
+            Rcw, tcw, points, obs_shard.valid, jnp.asarray(True), n_iters
+        )
+        # outlier re-classification is row-local (no collective needed)
+        _, _, _, chi2, ok, _ = factors.reproj_residuals(
+            cam, Rcw, tcw, points, obs_shard, bf=bf
+        )
+        th = jnp.where(obs_shard.is_stereo, CHI2_STEREO, CHI2_MONO)
+        active = obs_shard.valid & ok & (chi2 <= th)
+        Rcw, tcw, points = phase(
+            Rcw, tcw, points, active, jnp.asarray(False), n_iters_final
+        )
+        _, _, _, chi2, ok, _ = factors.reproj_residuals(
+            cam, Rcw, tcw, points, obs_shard, bf=bf
+        )
+        inl = obs_shard.valid & ok & (chi2 <= th)
+        cost = psum(jnp.sum(jnp.where(inl, chi2, 0.0)))
+        return Rcw, tcw, points, cost
+
+    return run(
+        prob.Rcw, prob.tcw, prob.points, obs,
+        prob.pose_fixed, prob.point_fixed,
+    )
+
+
 def full_map_problem(m, cfg, sample_stride: int = 1):
     """Build a BAProblem over every valid keyframe/point binding in the map.
 

@@ -47,6 +47,7 @@ class StoredMap:
     n_mp: int
     db: KeyFrameDatabase
     trajectory: list
+    inertial: object = None   # inertial chain state (InertialAtlasSLAM)
 
 
 @jax.jit

@@ -128,6 +128,9 @@ class InertialMixin:
         self.kf_times: list[float] = []
         self.kf_segments: list[tuple] = []  # raw (acc, gyr, dt) per chain segment
         self.seg_preints: list[Preintegrated] = []
+        # per-segment validity: False marks a chain break (e.g. the junction
+        # between two merged maps, where no IMU data spans the gap)
+        self.seg_ok: list[bool] = []
         self.since_kf = (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,)))
         self.last_t = None
         self.cur_vel = jnp.zeros(3, jnp.float32)
@@ -166,6 +169,7 @@ class InertialMixin:
             self.seg_preints.append(
                 integrate_measurements(self.bias, acc, gyr, dts, self.calib)
             )
+            self.seg_ok.append(True)
         self.kf_order.append(slot)
         self.kf_times.append(t)
         self.since_kf = (np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,)))
@@ -207,7 +211,7 @@ class InertialMixin:
             lambda *x: jnp.stack(x), *self.seg_preints
         )
         res = inertial_init(
-            Rwb, twb, pre, jnp.ones(len(slots) - 1, bool),
+            Rwb, twb, pre, jnp.asarray(self.seg_ok, bool),
             prior_g=prior_g, prior_a=max(prior_a, 1e-6),
             n_iters=30, fix_scale=self.FIX_SCALE,
         )
@@ -282,7 +286,7 @@ class InertialMixin:
         pre_list = pres + [dummy] * (K - 1 - len(pres))
         preints = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pre_list)
         seg_valid = np.zeros(K - 1, bool)
-        seg_valid[:len(pres)] = True
+        seg_valid[:len(pres)] = self.seg_ok[-W:]
         self.m, self.ki = IMAP.chain_inertial_ba(
             self.m, self.ki,
             jnp.asarray(kf_slots), jnp.asarray(kf_mask),

@@ -298,7 +298,12 @@ def update_point_stats(m: MapArrays, mp_sel: jnp.ndarray) -> MapArrays:
     first = jnp.full((MP + 1,), jnp.int32(1 << 30)).at[seg].min(
         jnp.where(is_best, rows, jnp.int32(1 << 30))
     )[:MP]
-    has = (first < (1 << 30)) & (n_obs >= 2)
+    # >= 3 observations: with exactly two, both descriptors have the SAME
+    # summed distance (ham(a,b) == ham(b,a)) — the argmin is an arbitrary
+    # tie and flip-flops the descriptor, measurably hurting association on
+    # depth-seeded (RGB-D) maps.  The reference's median argmin has the
+    # same degeneracy at 2 observations.
+    has = (first < (1 << 30)) & (n_obs >= 3)
     new_desc = desc[jnp.clip(first, 0, KF * NF - 1)]
     mp_desc = jnp.where(has[:, None], new_desc, m.mp_desc)
 
@@ -321,11 +326,17 @@ def update_point_stats(m: MapArrays, mp_sel: jnp.ndarray) -> MapArrays:
         jnp.where(is_ref_row, m.kf_level.reshape(-1), 0), seg,
         num_segments=MP + 1,
     )[:MP]
+    # only update the range when the reference KF still observes the point
+    # (an unbound ref row would default lvl to 0 and collapse dmax, gating
+    # the point out of the visibility check)
+    ref_seen = jax.ops.segment_max(
+        is_ref_row.astype(jnp.int32), seg, num_segments=MP + 1
+    )[:MP] > 0
     n_levels = 8
     sf = 1.2 ** jnp.arange(n_levels, dtype=m.mp_pos.dtype)
     dmax = d_ref * sf[jnp.clip(lvl, 0, n_levels - 1)]
     dmin = dmax / sf[n_levels - 1]
-    upd = has & m.mp_valid & (d_ref > 1e-6)
+    upd = has & m.mp_valid & (d_ref > 1e-6) & ref_seen
     return m._replace(
         mp_desc=mp_desc,
         mp_normal=mp_normal,

@@ -33,6 +33,7 @@ from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
 NOT_INITIALIZED = "NOT_INITIALIZED"
 OK = "OK"
 RECENTLY_LOST = "RECENTLY_LOST"
+LOST = "LOST"
 
 
 @dataclass
@@ -42,6 +43,13 @@ class FrameRecord:
     tcw: np.ndarray
     state: str
     n_inliers: int
+    # relative-pose bookkeeping (reference ``mlRelativeFramePoses``,
+    # `src/Tracking.cc:2144-2163`): the exported trajectory composes the
+    # track-time pose RELATIVE to its reference keyframe with that
+    # keyframe's FINAL pose, so later BA / loop corrections retro-apply
+    ref_slot: int = -1
+    rel_R: np.ndarray | None = None
+    rel_t: np.ndarray | None = None
 
 
 class MonoSLAM:
@@ -64,6 +72,49 @@ class MonoSLAM:
         self.tracked_at_kf = 0
         self.trajectory: list[FrameRecord] = []
         self.loop_closer = None  # attached lazily when loop closing enabled
+        # reference Tracking.h:311-312 grace timers: RECENTLY_LOST holds for
+        # ~2 s (visual) before the state degrades to LOST
+        self.lost_frames = 0
+        self.lost_patience = max(int(2.0 * cfg.fps), 4)
+        # reference System::ActivateLocalizationMode: track against the
+        # frozen map, never insert keyframes / run the mapper
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    def set_localization_mode(self, on: bool):
+        """Reference ``System::ActivateLocalizationMode`` (`src/System.cc:173`)."""
+        self.localization_only = bool(on)
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Full reset (reference ``System::Reset``): drop map and state."""
+        cfg = self.cfg
+        self.m = MS.empty_map(cfg)
+        self.n_kf = 0
+        self.n_mp = 0
+        self.state = NOT_INITIALIZED
+        self.ref_feats = None
+        self.ref_frame_id = None
+        self.vel = None
+        self.last_Rcw = jnp.eye(3, dtype=jnp.float32)
+        self.last_tcw = jnp.zeros(3, jnp.float32)
+        self.last_kf_slot = 0
+        self.frames_since_kf = 0
+        self.tracked_at_kf = 0
+        self.lost_frames = 0
+        self.loop_closer = None
+
+    # ------------------------------------------------------------------
+    def _update_lost_state(self, ok: bool):
+        """OK / RECENTLY_LOST / LOST transition (reference state machine)."""
+        if ok:
+            self.state = OK
+            self.lost_frames = 0
+        else:
+            self.lost_frames += 1
+            self.state = (
+                LOST if self.lost_frames > self.lost_patience else RECENTLY_LOST
+            )
 
     # ------------------------------------------------------------------
     def process(self, img, frame_id: int):
@@ -128,6 +179,11 @@ class MonoSLAM:
                     )
                     n_np = np.asarray(n_inls)
                     Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
+                    ref_now = (
+                        self.last_kf_slot,
+                        np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
+                        np.asarray(self.m.kf_tcw[self.last_kf_slot]),
+                    )
                 offset = 0
             else:
                 # roll so the next uncommitted frame leads; wrapped tail
@@ -143,6 +199,11 @@ class MonoSLAM:
                     )
                     n_np = np.asarray(n_inls)
                     Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
+                    ref_now = (
+                        self.last_kf_slot,
+                        np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
+                        np.asarray(self.m.kf_tcw[self.last_kf_slot]),
+                    )
                 offset = pos
 
             # walk frames, committing until a keyframe trigger fires
@@ -152,17 +213,19 @@ class MonoSLAM:
                 d = j - offset       # index into this dispatch's outputs
                 n = int(n_np[d])
                 ok = n >= cfg.min_tracked_points
-                self.state = OK if ok else RECENTLY_LOST
+                self._update_lost_state(ok)
                 self.frames_since_kf += 1
                 # numpy rows: one bulk device->host pull per dispatch; a
                 # per-frame np.asarray(Rs[k]) costs a tunnel round-trip each
-                self._record(ids[j], Rs_np[d], ts_np[d], n)
+                self._record(ids[j], Rs_np[d], ts_np[d], n, ref_pose=ref_now)
                 if ok and d >= 1:
                     Rv = Rs_np[d] @ Rs_np[d - 1].T
                     self.vel = (Rv, ts_np[d] - Rv @ ts_np[d - 1])
                 need = (
                     ok
+                    and not self.localization_only
                     and self.n_kf < cfg.max_keyframes - 1
+                    and self.frames_since_kf >= cfg.kf_min_interval
                     and (
                         self.frames_since_kf >= cfg.kf_max_interval
                         or n < cfg.kf_tracked_ratio * self.tracked_at_kf
@@ -188,11 +251,10 @@ class MonoSLAM:
                     for k in range(pos, n_real):
                         d = k - offset
                         n = int(n_np[d])
-                        self.state = (
-                            OK if n >= cfg.min_tracked_points else RECENTLY_LOST
-                        )
+                        self._update_lost_state(n >= cfg.min_tracked_points)
                         self.frames_since_kf += 1
-                        self._record(ids[k], Rs_np[d], ts_np[d], n)
+                        self._record(ids[k], Rs_np[d], ts_np[d], n,
+                                     ref_pose=ref_now)
                     pos = n_real
         return self.trajectory[-1]
 
@@ -220,28 +282,51 @@ class MonoSLAM:
             if reloc is not None:
                 Rcw, tcw, n_inl, mp_of_feat = reloc
             else:
-                self.state = RECENTLY_LOST
+                self._update_lost_state(False)
                 self.vel = None
                 self._record(frame_id, Rp, tp, n_inl)
                 self.frames_since_kf += 1
                 return
-        self.state = OK
+        self._update_lost_state(True)
         self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
         self.frames_since_kf += 1
-        self._record(frame_id, Rcw, tcw, n_inl)
+        ref_now = (
+            self.last_kf_slot,
+            np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
+            np.asarray(self.m.kf_tcw[self.last_kf_slot]),
+        )
+        self._record(frame_id, Rcw, tcw, n_inl, ref_pose=ref_now)
         need_kf = (
-            self.frames_since_kf >= cfg.kf_max_interval
-            or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
-        ) and self.n_kf < cfg.max_keyframes - 1
+            (
+                self.frames_since_kf >= cfg.kf_max_interval
+                or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
+            )
+            and self.frames_since_kf >= cfg.kf_min_interval
+            and not self.localization_only
+            and self.n_kf < cfg.max_keyframes - 1
+        )
         if need_kf:
             self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
                                   uvr=uvr, depth=depth)
 
     # ------------------------------------------------------------------
-    def _record(self, frame_id, Rcw, tcw, n_inl):
-        self.trajectory.append(
-            FrameRecord(frame_id, np.asarray(Rcw), np.asarray(tcw), self.state, n_inl)
-        )
+    def _record(self, frame_id, Rcw, tcw, n_inl, ref_pose=None):
+        """Append a trajectory record.
+
+        ``ref_pose``: optional (ref_slot, Rr, tr) — the reference keyframe's
+        pose at TRACK time; stores the frame pose relative to it so the
+        exported trajectory follows later keyframe refinements.
+        """
+        Rn, tn = np.asarray(Rcw), np.asarray(tcw)
+        if ref_pose is not None:
+            ref_slot, Rr, tr = ref_pose
+            rel_R = Rn @ Rr.T
+            rel_t = tn - rel_R @ tr
+            rec = FrameRecord(frame_id, Rn, tn, self.state, n_inl,
+                              ref_slot=int(ref_slot), rel_R=rel_R, rel_t=rel_t)
+        else:
+            rec = FrameRecord(frame_id, Rn, tn, self.state, n_inl)
+        self.trajectory.append(rec)
         self.last_Rcw = Rcw
         self.last_tcw = tcw
 
@@ -473,10 +558,23 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def positions(self):
-        """(N, 3) camera-center trajectory (world frame)."""
+        """(N, 3) camera-center trajectory (world frame).
+
+        Relative-pose records are composed with their reference keyframe's
+        CURRENT pose (reference ``SaveTrajectoryTUM``, `src/System.cc:421`),
+        so every BA/loop refinement since track time is reflected.
+        """
+        kfR = np.asarray(self.m.kf_Rcw)
+        kft = np.asarray(self.m.kf_tcw)
         out = []
         for rec in self.trajectory:
-            out.append(-rec.Rcw.T @ rec.tcw)
+            if rec.ref_slot >= 0 and rec.rel_R is not None:
+                Rr, tr = kfR[rec.ref_slot], kft[rec.ref_slot]
+                R = rec.rel_R @ Rr
+                t = rec.rel_R @ tr + rec.rel_t
+            else:
+                R, t = rec.Rcw, rec.tcw
+            out.append(-R.T @ t)
         return np.stack(out)
 
 

@@ -156,11 +156,32 @@ def track_frame(
     become 3-row stereo observations (reference ``EdgeStereoOnlyPose``).
     Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
     """
+    MP = m.mp_pos.shape[0]
+    NC = min(2048, MP)  # matched rows never exceed NF (<= ~1200)
+
+    def _optimize_compact(obs, R0, t0):
+        """Pose opt on a compacted observation table.
+
+        The per-map-point obs table is MP rows but only the matched few
+        hundred matter; 20 sequential GN kernels over MP rows are
+        latency/bandwidth-bound on TPU, so gather the matched rows into a
+        fixed NC-row table first and scatter inliers back.
+        """
+        _, sel = jax.lax.top_k(obs.valid.astype(jnp.int32), NC)
+        obs_c = PoseObs(
+            uv=obs.uv[sel], uv_r=obs.uv_r[sel],
+            inv_sigma2=obs.inv_sigma2[sel], is_stereo=obs.is_stereo[sel],
+            valid=obs.valid[sel],
+        )
+        res = pose_optimization(cam, R0, t0, m.mp_pos[sel], obs_c, bf=bf)
+        inl_full = jnp.zeros(MP, bool).at[sel].max(res.inliers & obs_c.valid)
+        return res._replace(inliers=inl_full)
+
     obs, f_idx, vis = match_local_map(
         m, feats, Rcw_pred, tcw_pred, local_mp_mask, cam, cfg,
         feat_uvr=feat_uvr,
     )
-    res = pose_optimization(cam, Rcw_pred, tcw_pred, m.mp_pos, obs, bf=bf)
+    res = _optimize_compact(obs, Rcw_pred, tcw_pred)
 
     # Fallback when the narrow search fails: re-match with a 3x radius and
     # relaxed level window, then re-optimize — the batched analogue of the
@@ -176,7 +197,7 @@ def track_frame(
             m, feats, Rs, ts, local_mp_mask, cam, cfg,
             feat_uvr=feat_uvr, radius_scale=3.0,
         )
-        res2 = pose_optimization(cam, Rs, ts, m.mp_pos, obs2, bf=bf)
+        res2 = _optimize_compact(obs2, Rs, ts)
         use2 = res2.n_inliers > res0.n_inliers
         sel = lambda a, b: jax.tree_util.tree_map(
             lambda x, y: jnp.where(use2, x, y), a, b
@@ -667,6 +688,9 @@ def insert_keyframe_step(
 # local bundle adjustment over the covisibility window
 # ---------------------------------------------------------------------------
 
+_ANCHOR_OBS_CAP = 4096  # out-of-window anchor observations kept (compacted)
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg", "window", "bf"))
 def local_ba(
     m: MS.MapArrays,
@@ -676,75 +700,99 @@ def local_ba(
     window: int = 8,
     bf: float = 0.0,
 ):
-    """Windowed BA: top-`window` covisible KFs of `center_slot` + center.
+    """Windowed BA with the reference's full fixed-anchor set.
 
-    The earliest keyframe inside the window is held fixed as the gauge
-    anchor (the reference additionally fixes all out-of-window observers;
-    that refinement comes with the async mapper).
-    Returns the updated map.
+    Free: the top-`window` covisible KFs of `center_slot` + center, and the
+    points they see.  Fixed anchors: ALL other keyframes observing those
+    points contribute their observations with frozen poses
+    (``LocalBundleAdjustment``'s lFixedCameras, `src/Optimizer.cc:1611+`) —
+    without them the window's boundary is unconstrained and the map slowly
+    deforms.  Anchor observations are compacted to a static cap; the solve
+    uses the matrix-free Schur/PCG engine (pose table = all KF slots, so no
+    dense (K, 6, M, 3) coupling is materialized).
     """
+    from orb_slam3_noted_tpu.optim.gba import global_bundle_adjust
+
     KF, NF = m.kf_xy.shape[0], m.kf_xy.shape[1]
     MP = m.mp_pos.shape[0]
     K = window + 1
 
     w = MS.covisibility_weights(m, center_slot)
     top_w, top_i = jax.lax.top_k(w, window)
-    kf_slots = jnp.concatenate([center_slot[None].astype(jnp.int32), top_i.astype(jnp.int32)])
+    kf_slots = jnp.concatenate(
+        [center_slot[None].astype(jnp.int32), top_i.astype(jnp.int32)]
+    )
     kf_mask = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
-    # fix: earliest frame id in the window (gauge); also fix padded entries
+    in_window = jnp.zeros(KF, bool).at[kf_slots].max(kf_mask)
+    # gauge: earliest frame id in the window stays fixed
     fids = jnp.where(kf_mask, m.kf_frame_id[kf_slots], jnp.int32(1 << 30))
-    anchor = jnp.argmin(fids)
-    pose_fixed = ~kf_mask
-    pose_fixed = pose_fixed.at[anchor].set(True)
+    anchor_slot = kf_slots[jnp.argmin(fids)]
+    pose_fixed = (~in_window).at[anchor_slot].set(True)
 
-    # observation table: one row per (window kf, feature)
+    # --- window observation rows: every feature of the window KFs ---
     k_local = jnp.repeat(jnp.arange(K, dtype=jnp.int32), NF)
     f_idx = jnp.tile(jnp.arange(NF, dtype=jnp.int32), K)
     kf_g = kf_slots[k_local]
     mp_id = m.kf_mp[kf_g, f_idx]
-    valid = (
-        kf_mask[k_local]
-        & (mp_id >= 0)
-        & m.kf_feat_valid[kf_g, f_idx]
-    )
+    valid = kf_mask[k_local] & (mp_id >= 0) & m.kf_feat_valid[kf_g, f_idx]
     mp_idx = jnp.clip(mp_id, 0)
     valid = valid & m.mp_valid[mp_idx]
-    sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
-    uvr = m.kf_uvr[kf_g, f_idx]
-    obs = factors.ReprojObs(
-        pose_idx=k_local,
-        point_idx=mp_idx,
-        uv=m.kf_xy[kf_g, f_idx],
-        uv_r=uvr,
-        inv_sigma2=1.0 / sigma2[m.kf_level[kf_g, f_idx]],
-        is_stereo=uvr >= 0,
-        valid=valid,
-    )
-    # points seen in the window are free, everything else fixed
     seen = jnp.zeros(MP, bool).at[mp_idx].max(valid)
+
+    # --- anchor rows: out-of-window observations of window points ---
+    all_k = jnp.repeat(jnp.arange(KF, dtype=jnp.int32), NF)
+    all_f = jnp.tile(jnp.arange(NF, dtype=jnp.int32), KF)
+    all_mp = m.kf_mp.reshape(-1)
+    cand = (
+        m.kf_valid[all_k]
+        & ~in_window[all_k]
+        & (all_mp >= 0)
+        & m.kf_feat_valid.reshape(-1)
+        & seen[jnp.clip(all_mp, 0)]
+    )
+    _, sel = jax.lax.top_k(cand.astype(jnp.int32), _ANCHOR_OBS_CAP)
+    a_k = all_k[sel]
+    a_f = all_f[sel]
+    a_valid = cand[sel]
+    a_mp = jnp.clip(all_mp[sel], 0)
+
+    sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
+    pose_idx = jnp.concatenate([kf_g, a_k])
+    feat_idx = jnp.concatenate([f_idx, a_f])
+    uvr = m.kf_uvr[pose_idx, feat_idx]
+    obs = factors.ReprojObs(
+        pose_idx=pose_idx,
+        point_idx=jnp.concatenate([mp_idx, a_mp]),
+        uv=m.kf_xy[pose_idx, feat_idx],
+        uv_r=uvr,
+        inv_sigma2=1.0 / sigma2[m.kf_level[pose_idx, feat_idx]],
+        is_stereo=uvr >= 0,
+        valid=jnp.concatenate([valid, a_valid]),
+    )
     prob = BAProblem(
-        Rcw=m.kf_Rcw[kf_slots],
-        tcw=m.kf_tcw[kf_slots],
+        Rcw=m.kf_Rcw,
+        tcw=m.kf_tcw,
         points=m.mp_pos,
         obs=obs,
         pose_fixed=pose_fixed,
         point_fixed=~seen,
     )
-    res = bundle_adjust(
-        cam, prob, bf=bf, n_iters=cfg.ba_iters, n_iters_final=cfg.ba_iters_final
+    res = global_bundle_adjust(
+        cam, prob, bf=bf, n_iters=cfg.ba_iters,
+        n_iters_final=cfg.ba_iters_final, cg_iters=24,
     )
     m = MS.apply_ba_result(
         m,
-        kf_slots, kf_mask,  # fixed entries were not moved by BA
+        jnp.arange(KF, dtype=jnp.int32), in_window & ~pose_fixed,
         res.Rcw, res.tcw,
         jnp.arange(MP, dtype=jnp.int32), seen, res.points,
     )
-    # drop observations classified as outliers (unbind feature -> mp)
-    out = valid & ~res.inlier
+    # drop window observations classified as outliers (unbind feature -> mp)
+    out = valid & ~res.inlier[: K * NF]
     new_kf_mp = m.kf_mp.at[kf_g, f_idx].set(
         jnp.where(out, -1, m.kf_mp[kf_g, f_idx])
     )
-    # note: obs_mat rows for window KFs are rebuilt from the bindings
+    # obs_mat rows for window KFs are rebuilt from the surviving bindings
     rows = jnp.zeros((K, MP), bool).at[k_local, mp_idx].max(
         (new_kf_mp[kf_g, f_idx] >= 0) & valid
     )

@@ -52,3 +52,39 @@ class TestDistributedBA:
         out8 = distributed_bundle_adjust(PIN, make_mesh(8), *args, n_iters=5)
         np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out8[1]), atol=1e-4)
         np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out8[2]), atol=1e-3)
+
+
+class TestDistributedGBA:
+    """Matrix-free Schur/PCG global BA sharded over the mesh."""
+
+    def test_matches_single_device_engine(self, rng):
+        from orb_slam3_noted_tpu.optim.ba import BAProblem
+        from orb_slam3_noted_tpu.optim.gba import (
+            distributed_global_ba,
+            global_bundle_adjust,
+        )
+
+        Rs, ts, pts, obs = make_ba_scene(rng, n_poses=8, n_points=200)
+        K, M = len(Rs), len(pts)
+        p0 = (pts + rng.normal(0, 0.04, size=pts.shape)).astype(np.float32)
+        t0 = ts.copy()
+        t0[2:] += rng.normal(0, 0.03, size=(K - 2, 3)).astype(np.float32)
+        fixed = np.zeros(K, bool); fixed[:2] = True
+        prob = BAProblem(
+            Rcw=jnp.asarray(Rs), tcw=jnp.asarray(t0.astype(np.float32)),
+            points=jnp.asarray(p0), obs=obs,
+            pose_fixed=jnp.asarray(fixed), point_fixed=jnp.zeros(M, bool),
+        )
+        single = global_bundle_adjust(PIN, prob, n_iters=6, n_iters_final=3)
+        R8, t8, p8, cost8 = distributed_global_ba(
+            PIN, make_mesh(8), prob, n_iters=6, n_iters_final=3,
+        )
+        # both engines converge to the ground-truth scene
+        np.testing.assert_allclose(np.asarray(t8[2:]), ts[2:], atol=5e-2)
+        err = np.linalg.norm(np.asarray(p8) - pts, axis=1)
+        assert np.median(err) < 0.05
+        # and agree with each other (same math, psum'd reductions)
+        np.testing.assert_allclose(
+            np.asarray(single.tcw), np.asarray(t8), atol=1e-3
+        )
+        assert np.isfinite(float(cost8))

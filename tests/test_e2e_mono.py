@@ -25,18 +25,21 @@ def test_mono_slam_synthetic_room():
         local_window=5, kf_max_interval=10,
     )
     room = BoxRoom(seed=0)
-    poses = orbit_trajectory(40, forward=0.03)
+    poses = orbit_trajectory(40, forward=0.03, yaw0=0.45)
     slam = MonoSLAM(cfg)
     for i, (Rwc, twc) in enumerate(poses):
         img = room.render(Rwc, twc, cam.params, W, H)
         slam.process(img, i)
 
     ok = np.array([r.state == "OK" for r in slam.trajectory])
-    assert ok.sum() >= 20, f"only {ok.sum()} tracked frames"
+    assert ok.sum() >= 34, f"only {ok.sum()} tracked frames"
     est = slam.positions()
     gt = np.stack([p[1] for p in poses])
     rmse, _, _ = ate_rmse(est[ok], gt[ok], with_scale=True)
     span = np.linalg.norm(gt[ok].max(0) - gt[ok].min(0))
-    # < 5% of trajectory span (reference-level accuracy comes with the full
-    # local-mapping feature set: culling, fusion, reloc, loop closing)
-    assert rmse < 0.05 * span, f"ATE {rmse:.3f} m over span {span:.2f} m"
+    # round-2 bar: < 2% of trajectory span (round 1: 5%) and near-full
+    # tracking (corner view — a plane-dominated view is degenerate for mono
+    # init).  The residual ~1.7% is integer-pixel corner noise at this
+    # resolution (fx=260): measured invariant to pose-opt iterations, BA
+    # depth, anchored windows, and relative-pose trajectory bookkeeping.
+    assert rmse < 0.02 * span, f"ATE {rmse:.3f} m over span {span:.2f} m"
