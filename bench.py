@@ -1,11 +1,12 @@
-"""Round benchmark: tracked frames/s of the full monocular pipeline.
+"""Round benchmark: tracked frames/s of the full SLAM pipeline.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Baseline: the reference runs real-time at camera rate — EuRoC 20 fps at
 752x480 with 1200 ORB features on a desktop i7 (`/root/reference/README.md`,
-BASELINE.md).  value = steady-state tracked frames/s of this engine on the
-default backend (one TPU chip) at the same resolution/feature budget;
+BASELINE.md).  value = end-to-end tracked frames/s of this engine on the
+default backend (one TPU chip) at the same resolution/feature budget,
+including initialization, keyframe mapping and loop-closing detection;
 vs_baseline = value / 20.
 """
 
@@ -31,11 +32,11 @@ def main():
         enable_loop_closing=True,  # place recognition + detection in the loop
     )
     room = BoxRoom(seed=0)
-    n_frames = 40
+    n_frames = 120
     # corner view (yaw0): several planes share the frame — a single
     # dominant plane is a known-degenerate mono-init case (Faugeras
     # ambiguity) that stalls ANY H/F bootstrap, the reference's included
-    poses = orbit_trajectory(n_frames, forward=0.05, yaw0=0.45)
+    poses = orbit_trajectory(n_frames, forward=0.03, yaw0=0.45)
     frames = [room.render(R, t, cam.params, W, H) for R, t in poses]
 
     B = 8  # frames per device dispatch (throughput mode)
@@ -81,23 +82,33 @@ def main():
         bf=bf, th_depth=45.0,
         max_keyframes=64, max_map_points=16384,
         local_window=5, kf_max_interval=10,
+        enable_loop_closing=True,
     )
-    n_s = 24
-    poses_s = orbit_trajectory(n_s, forward=0.05, yaw0=0.45)
+    n_s = 96
+    poses_s = orbit_trajectory(n_s, forward=0.03, yaw0=0.45)
     pairs = [
         stereo_pair(room, R, t, cam.params, W, H, 0.11)[:2] for R, t in poses_s
     ]
 
     def run_stereo():
         s = StereoSLAM(cfg_s)
-        for i, (l, r) in enumerate(pairs):
-            s.process(l, r, i)
+        i = 0
+        while i < n_s and s.state == "NOT_INITIALIZED":
+            s.process(pairs[i][0], pairs[i][1], i)
+            i += 1
+        while i < n_s:
+            j = min(i + B, n_s)
+            s.process_batch(pairs[i:j], list(range(i, j)))
+            i = j
         return s
 
     run_stereo()  # warm-up/compile
+    GLOBAL_TIMER.spans.clear()
     t0 = time.time()
     s = run_stereo()
     wall_s = time.time() - t0
+    GLOBAL_TIMER.print_stats(file=sys.stderr)
+    print(f"stereo n_kf={s.n_kf} n_mp={s.n_mp}", file=sys.stderr)
     ok_s = sum(1 for r in s.trajectory if r.state == "OK")
     fps_s = n_s / wall_s
     print(

@@ -392,11 +392,14 @@ def reconstruct_two_views(
         z1 = pts1[:, 2]
         p2 = pts1 @ R21.T + t21
         z2 = p2[:, 2]
-        # reprojection gate in normalized coords.  The reference CheckRT uses
-        # a 4-sigma PIXEL gate (16 px^2) — deliberately looser than the
-        # model-inlier gate, so off-plane points survive the vote; they are
-        # precisely what separates the two Faugeras conjugate solutions of a
-        # dominant-plane scene.  4x the model threshold reproduces that.
+        # reprojection gate in normalized coords.  The reference CheckRT gate
+        # is 4*sigma2 (~4 px^2 at sigma=1, `src/TwoViewReconstruction.cc`);
+        # this gate is DELIBERATELY looser (4x the ~3.84 px^2 model
+        # threshold, ~15.4 px^2 equivalent) so off-plane points survive the
+        # vote — they are precisely what separates the two Faugeras
+        # conjugate solutions of a dominant-plane scene (measured: the
+        # tighter reference gate stalls mono init on planar synthetic
+        # scenes, the looser one does not and end-to-end ATE is unchanged).
         z1s = jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
         z2s = jnp.where(jnp.abs(z2) < 1e-9, 1e-9, z2)
         e1 = jnp.sum((pts1[:, :2] / z1s[:, None] - rays1[:, :2]) ** 2, axis=-1)

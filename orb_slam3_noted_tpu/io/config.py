@@ -50,6 +50,7 @@ class SlamConfig:
     kf_max_interval: int = 30        # force KF after this many frames
     kf_tracked_ratio: float = 0.9    # new KF when tracked < ratio * ref visible
     local_window: int = 10           # covisible KFs for local map / local BA
+    triangulate_neighbors: int = 8   # covisible KFs matched for new points
     ba_iters: int = 5                # robust LM iterations in local BA
     ba_iters_final: int = 5          # post-outlier-reclassify iterations
 

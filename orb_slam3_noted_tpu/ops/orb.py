@@ -198,8 +198,25 @@ def extract_orb(
     th_low: float = 7.0,
 ) -> FrameFeatures:
     """Full ORB pipeline for one grayscale image (H, W) float32 [0, 255]."""
-    budgets = fast_ops.level_budgets(n_features, n_levels, scale_factor)
     levels = image_ops.build_pyramid(img, n_levels, scale_factor)
+    return extract_from_pyramid(
+        tuple(levels), n_features=n_features, n_levels=n_levels,
+        scale_factor=scale_factor, th_high=th_high, th_low=th_low,
+    )
+
+
+def extract_from_pyramid(
+    levels: tuple,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    th_high: float = 20.0,
+    th_low: float = 7.0,
+) -> FrameFeatures:
+    """ORB extraction from a prebuilt pyramid (shared with stereo matching,
+    which needs the same per-level images for SAD refinement)."""
+    img = levels[0]
+    budgets = fast_ops.level_budgets(n_features, n_levels, scale_factor)
     sf = scale_factors(n_levels, scale_factor)
 
     outs = []
@@ -238,3 +255,32 @@ def extract_orb(
         desc=jnp.concatenate([o.desc for o in outs]),
         valid=jnp.concatenate([o.valid for o in outs]),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale_factor", "th_high", "th_low"),
+)
+def extract_orb_batch(
+    imgs: jnp.ndarray,
+    n_features: int = 1200,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    th_high: float = 20.0,
+    th_low: float = 7.0,
+) -> FrameFeatures:
+    """ORB extraction for a (B, H, W) image batch — vmapped dense kernels.
+
+    The per-image path runs ~40 small per-level kernels; batching frames
+    turns each into one B-wide kernel, amortizing dispatch latency and
+    filling the VPU.  This is the throughput-mode analogue of the
+    reference's per-frame dual extraction threads (`src/Frame.cc:119-122`),
+    generalized to whole frame batches (SURVEY §2.3 "data parallelism
+    within a frame").
+    """
+    fn = partial(
+        extract_orb,
+        n_features=n_features, n_levels=n_levels, scale_factor=scale_factor,
+        th_high=th_high, th_low=th_low,
+    )
+    return jax.vmap(fn)(imgs)

@@ -131,17 +131,24 @@ class LoopCloser:
             m.kf_desc[slot], m.kf_feat_valid[slot]
         )
         # exclusion: covisible KFs + recent window (reference excludes
-        # covisibles and requires temporal gap; src/KeyFrameDatabase.cc:611)
+        # covisibles and requires temporal gap; src/KeyFrameDatabase.cc:611).
+        # The covisibility matrix stays on device (one MXU matmul); only the
+        # small (KF, KF) result is pulled for the host-side consistency sets.
         from orb_slam3_noted_tpu.pipeline import map_state as MS
 
-        covis = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
-        exclude = covis > 0
-        lo = max(0, slot - self.exclude_recent)
-        exclude[lo : slot + 1] = True
-        obs = np.asarray(m.obs_mat).astype(np.float32)
-        covis_mat = obs @ obs.T
+        covis_dev = MS.covisibility_matrix(m)
+        covis_mat = np.asarray(covis_dev)
+        exclude = covis_mat[slot] > 0
+        # recency on FRAME ids, not slot order (robust to slot recycling;
+        # the reference's exclusion is by mnId gap)
+        fids = np.asarray(m.kf_frame_id)
+        kf_valid = np.asarray(m.kf_valid)
+        recent_fids = np.sort(fids[kf_valid])[-(self.exclude_recent + 1):]
+        min_recent = recent_fids[0] if len(recent_fids) else 0
+        exclude |= kf_valid & (fids >= min_recent)
+        exclude[slot] = True
         slots, scores = self.db.detect_candidates(
-            bow, exclude, n_best=3, covis=covis_mat
+            bow, exclude, n_best=3, covis=covis_dev
         )
         self.db.add(slot, bow)
         if not slots:
@@ -160,7 +167,11 @@ class LoopCloser:
                 if grp & prev_grp:
                     count = max(count, prev_count + 1)
             new_groups.append((grp, count))
-            if count + 1 >= self.consistency_th:
+            # count = prev_chain + 1 on a re-detection, 0 on first sight;
+            # accept once the chain length reaches the threshold — matches
+            # the reference accumulation exactly (nCurrentConsistency starts
+            # at 0 on first sight; `src/LoopClosing.cc:400-430`)
+            if count >= self.consistency_th:
                 verified_cands.append(cand)
         self.consistent_groups = new_groups
         if not verified_cands:
@@ -178,7 +189,7 @@ class LoopCloser:
             )
             if not bool(res.success) or int(res.n_inliers) < self.min_inliers:
                 continue
-            self._correct(slam, slot, cand, res)
+            self._correct(slam, slot, cand, res, covis=covis_mat)
             self.loops_closed += 1
             self.last_loop_kf = slot
             self.consistent_groups = []
@@ -186,15 +197,17 @@ class LoopCloser:
         return False
 
     # ------------------------------------------------------------------
-    def _correct(self, slam, slot: int, cand: int, res):
+    def _correct(self, slam, slot: int, cand: int, res, covis=None):
         m = slam.m
         KF = m.kf_Rcw.shape[0]
         kf_valid = np.asarray(m.kf_valid)
         n_kf = slam.n_kf
 
-        # --- build edge list (numpy host side) ---
-        obs = np.asarray(m.obs_mat).astype(np.float32)
-        covis = obs @ obs.T  # (KF, KF) shared map point counts
+        # --- build edge list (numpy host side; covis computed on device) ---
+        if covis is None:
+            from orb_slam3_noted_tpu.pipeline import map_state as MS
+
+            covis = np.asarray(MS.covisibility_matrix(m))
         ei, ej = [], []
         # sequential chain (spanning-tree stand-in)
         for k in range(n_kf - 1):

@@ -140,6 +140,22 @@ def covisibility_weights(m: MapArrays, slot: jnp.ndarray) -> jnp.ndarray:
     return w.at[slot].set(0.0)
 
 
+@jax.jit
+def covisibility_matrix(m: MapArrays) -> jnp.ndarray:
+    """(KF, KF) shared-map-point counts — ONE bf16 matmul, exact f32 accum.
+
+    The full-graph analogue of :func:`covisibility_weights`; used by the
+    loop closer (candidate exclusion, consistency groups, pose-graph edges)
+    so the (KF, MP) observation matrix never leaves the device.
+    """
+    a = m.obs_mat.astype(jnp.bfloat16)
+    cv = jax.lax.dot_general(
+        a, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cv = cv * (m.kf_valid[:, None] & m.kf_valid[None, :])
+    return cv * (1.0 - jnp.eye(cv.shape[0], dtype=cv.dtype))
+
+
 @partial(jax.jit, static_argnames=("n_neighbors",))
 def local_map_mask(
     m: MapArrays, slot: jnp.ndarray, n_neighbors: int = 10
@@ -242,8 +258,11 @@ def cull_map_points(m: MapArrays, current_kf: jnp.ndarray) -> MapArrays:
     return m._replace(mp_valid=keep, kf_mp=kf_mp, obs_mat=obs)
 
 
-@jax.jit
-def update_point_stats(m: MapArrays, mp_sel: jnp.ndarray) -> MapArrays:
+@partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def update_point_stats(
+    m: MapArrays, mp_sel: jnp.ndarray,
+    n_levels: int = 8, scale_factor: float = 1.2,
+) -> MapArrays:
     """Re-elect distinctive descriptors and refresh normals/scale ranges.
 
     Batched equivalent of ``MapPoint::ComputeDistinctiveDescriptors``
@@ -332,8 +351,7 @@ def update_point_stats(m: MapArrays, mp_sel: jnp.ndarray) -> MapArrays:
     ref_seen = jax.ops.segment_max(
         is_ref_row.astype(jnp.int32), seg, num_segments=MP + 1
     )[:MP] > 0
-    n_levels = 8
-    sf = 1.2 ** jnp.arange(n_levels, dtype=m.mp_pos.dtype)
+    sf = scale_factor ** jnp.arange(n_levels, dtype=m.mp_pos.dtype)
     dmax = d_ref * sf[jnp.clip(lvl, 0, n_levels - 1)]
     dmin = dmax / sf[n_levels - 1]
     upd = has & m.mp_valid & (d_ref > 1e-6) & ref_seen

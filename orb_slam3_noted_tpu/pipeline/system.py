@@ -137,6 +137,48 @@ class MonoSLAM:
         return self.trajectory[-1] if self.trajectory else None
 
     # ------------------------------------------------------------------
+    # batch-mode hooks (overridden by StereoSLAM)
+    def _process_one(self, frame, frame_id):
+        self.process(frame, frame_id)
+
+    def _prep_batch(self, frames, n_pad):
+        batch_np = [np.asarray(f).astype(np.uint8) for f in frames]
+        pad = batch_np + [batch_np[-1]] * n_pad
+        return jnp.asarray(np.stack(pad))
+
+    def _batch_track(self, prep, vel, cm):
+        self.m, Rs, ts, n_inls, feats_all, mp_feats = T.track_batch(
+            self.m, prep, jnp.int32(self.last_kf_slot),
+            self.last_Rcw, self.last_tcw, vel, self.cam, self.cfg,
+            bf=0.0, count_mask=cm,
+        )
+        return Rs, ts, n_inls, feats_all, mp_feats, None
+
+    def _batch_retrack(self, rolled, aux_rolled, vel, cm):
+        self.m, Rs, ts, n_inls, _, mp_feats = T.track_batch_feats(
+            self.m, rolled, jnp.int32(self.last_kf_slot),
+            self.last_Rcw, self.last_tcw, vel, self.cam, self.cfg,
+            bf=0.0, count_mask=cm,
+        )
+        return Rs, ts, n_inls, mp_feats
+
+    @staticmethod
+    def _roll_aux(aux, pos):
+        if aux is None:
+            return None
+        return jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, -pos, axis=0), aux
+        )
+
+    @staticmethod
+    def _kf_extras(aux, d):
+        """(uvr, depth) rows for the keyframe frame at dispatch index d."""
+        if aux is None:
+            return None, None
+        uvr_all, depth_all = aux
+        return uvr_all[d], depth_all[d]
+
+    # ------------------------------------------------------------------
     def process_batch(self, imgs, frame_ids):
         """Throughput mode: track a batch of frames per device dispatch.
 
@@ -151,20 +193,19 @@ class MonoSLAM:
         cfg = self.cfg
         i = 0
         while self.state == NOT_INITIALIZED and i < len(imgs):
-            self.process(imgs[i], frame_ids[i])
+            self._process_one(imgs[i], frame_ids[i])
             i += 1
         if i >= len(imgs):
             return self.trajectory[-1] if self.trajectory else None
 
         B = len(imgs)
-        batch_np = [np.asarray(f).astype(np.uint8) for f in imgs[i:]]
         ids = list(frame_ids[i:])
-        n_real = len(batch_np)
-        pad = batch_np + [batch_np[-1]] * (B - n_real)
-        batch_dev = jnp.asarray(np.stack(pad))
+        n_real = len(ids)
+        prep = self._prep_batch(imgs[i:], B - n_real)
 
-        pos = 0          # frames committed so far
+        pos = 0           # frames committed so far
         feats_all = None  # device-resident features of the full batch
+        aux = None        # per-frame stereo rows (uvr, depth) or None
         attempts = 0
         while pos < n_real:
             vel = self.vel if self.vel is not None else (
@@ -172,10 +213,9 @@ class MonoSLAM:
             )
             if feats_all is None:
                 with TIMER.stage("track_batch"):
-                    self.m, Rs, ts, n_inls, feats_all, mp_feats = T.track_batch(
-                        self.m, batch_dev, jnp.int32(self.last_kf_slot),
-                        self.last_Rcw, self.last_tcw, vel, self.cam, cfg,
-                        bf=0.0,
+                    cm = jnp.arange(B) < n_real  # padding never counts
+                    Rs, ts, n_inls, feats_all, mp_feats, aux = (
+                        self._batch_track(prep, vel, cm)
                     )
                     n_np = np.asarray(n_inls)
                     Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
@@ -185,6 +225,7 @@ class MonoSLAM:
                         np.asarray(self.m.kf_tcw[self.last_kf_slot]),
                     )
                 offset = 0
+                cur_feats, cur_aux = feats_all, aux
             else:
                 # roll so the next uncommitted frame leads; wrapped tail
                 # frames are tracked but ignored
@@ -192,10 +233,12 @@ class MonoSLAM:
                     rolled = jax.tree_util.tree_map(
                         lambda x: jnp.roll(x, -pos, axis=0), feats_all
                     )
-                    self.m, Rs, ts, n_inls, _, mp_feats = T.track_batch_feats(
-                        self.m, rolled, jnp.int32(self.last_kf_slot),
-                        self.last_Rcw, self.last_tcw, vel, self.cam, cfg,
-                        bf=0.0,
+                    aux_rolled = self._roll_aux(aux, pos)
+                    # only the still-uncommitted head of the rolled batch may
+                    # bump visible/found (committed/wrapped frames already did)
+                    cm = jnp.arange(B) < (n_real - pos)
+                    Rs, ts, n_inls, mp_feats = self._batch_retrack(
+                        rolled, aux_rolled, vel, cm
                     )
                     n_np = np.asarray(n_inls)
                     Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
@@ -205,6 +248,7 @@ class MonoSLAM:
                         np.asarray(self.m.kf_tcw[self.last_kf_slot]),
                     )
                 offset = pos
+                cur_feats, cur_aux = rolled, aux_rolled
 
             # walk frames, committing until a keyframe trigger fires
             k_kf = None
@@ -234,11 +278,12 @@ class MonoSLAM:
                 if need:
                     k_kf = j
                     feats_k = jax.tree_util.tree_map(
-                        lambda x: x[j - offset], feats_all if offset == 0
-                        else rolled
+                        lambda x: x[d], cur_feats
                     )
+                    uvr_k, depth_k = self._kf_extras(cur_aux, d)
                     self._insert_keyframe(
-                        feats_k, ids[j], Rs_np[d], ts_np[d], mp_feats[d], n
+                        feats_k, ids[j], Rs_np[d], ts_np[d], mp_feats[d], n,
+                        uvr=uvr_k, depth=depth_k,
                     )
                     break
             if k_kf is None:
@@ -498,8 +543,8 @@ class MonoSLAM:
             self.m, n_mp = T.insert_keyframe_step(
                 self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
                 feats, mp_of_feat, uvr_arr, depth_arr, jnp.int32(self.n_mp),
-                self.cam, cfg, n_neighbors=4, bf=cfg.bf,
-                has_depth=depth is not None,
+                self.cam, cfg, n_neighbors=cfg.triangulate_neighbors,
+                bf=cfg.bf, has_depth=depth is not None,
             )
             self.n_kf += 1
             self.n_mp = int(n_mp)
@@ -589,6 +634,40 @@ class StereoSLAM(MonoSLAM):
     """
 
     MIN_INIT_POINTS = 300  # reference requires 500 stereo points at init
+
+    # ------------------------------------------------------------------
+    # batch-mode hooks: ``process_batch`` receives a list of (left, right)
+    # pairs; extraction runs as one (2B,)-wide dispatch and the stereo
+    # matcher is vmapped (round-3 batched stereo path)
+    def _process_one(self, frame, frame_id):
+        self.process(frame[0], frame[1], frame_id)
+
+    def _prep_batch(self, frames, n_pad):
+        ls = [np.asarray(f[0]).astype(np.uint8) for f in frames]
+        rs = [np.asarray(f[1]).astype(np.uint8) for f in frames]
+        ls = ls + [ls[-1]] * n_pad
+        rs = rs + [rs[-1]] * n_pad
+        return jnp.asarray(np.stack(ls)), jnp.asarray(np.stack(rs))
+
+    def _batch_track(self, prep, vel, cm):
+        batchL, batchR = prep
+        self.m, Rs, ts, n_inls, feats_all, mp_feats, uvr, depth = (
+            T.stereo_track_batch(
+                self.m, batchL, batchR, jnp.int32(self.last_kf_slot),
+                self.last_Rcw, self.last_tcw, vel, self.cam, self.cfg,
+                bf=self.cfg.bf, count_mask=cm,
+            )
+        )
+        return Rs, ts, n_inls, feats_all, mp_feats, (uvr, depth)
+
+    def _batch_retrack(self, rolled, aux_rolled, vel, cm):
+        uvr, _ = aux_rolled
+        self.m, Rs, ts, n_inls, _, mp_feats = T.stereo_track_batch_feats(
+            self.m, rolled, uvr, jnp.int32(self.last_kf_slot),
+            self.last_Rcw, self.last_tcw, vel, self.cam, self.cfg,
+            bf=self.cfg.bf, count_mask=cm,
+        )
+        return Rs, ts, n_inls, mp_feats
 
     def process(self, img_left, img_right, frame_id: int):
         from orb_slam3_noted_tpu.ops import image as I

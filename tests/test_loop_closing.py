@@ -140,8 +140,10 @@ def test_loop_detect_and_correct(rng):
     # vocabulary trained on scene-like descriptors
     train = np.concatenate([desc, rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)])
     vocab = train_vocabulary(train, n_words=256, n_iters=4)
+    # consistency_th=0: accept on first sight (the chain counter starts at 0
+    # on first detection, matching the reference's nCurrentConsistency)
     lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3,
-                    consistency_th=1)
+                    consistency_th=0)
 
     slam = FakeSlam(m, n_kf)
     # register all earlier keyframes in the database
@@ -183,8 +185,13 @@ def test_temporal_consistency_gates_single_hit(rng):
     assert not lc.on_keyframe(slam, tail), "one hit must not close with th=3"
     assert len(lc.consistent_groups) > 0  # candidate recorded for next KF
     # feeding the SAME keyframe again simulates consecutive re-detections of
-    # the same place: the counter must ripen and eventually allow the close
+    # the same place: the counter must ripen and eventually allow the close.
+    # Reference accumulation: chain length is 0 on first sight and accepts
+    # once it REACHES th — i.e. the (th+1)-th consecutive detection
+    # (`src/LoopClosing.cc:400-430` nCurrentConsistency >= th).
     lc.db.erase(tail)
     assert not lc.on_keyframe(slam, tail)
     lc.db.erase(tail)
-    assert lc.on_keyframe(slam, tail), "3rd consistent hit should close"
+    assert not lc.on_keyframe(slam, tail), "3rd hit: chain=2 < th"
+    lc.db.erase(tail)
+    assert lc.on_keyframe(slam, tail), "4th consistent hit should close"
