@@ -104,8 +104,9 @@ class LoopCloser:
         exclude_recent: int = 10,
         enable_gba: bool = True,
         consistency_th: int = 3,
+        idf: np.ndarray | None = None,
     ):
-        self.db = KeyFrameDatabase(vocab, max_keyframes)
+        self.db = KeyFrameDatabase(vocab, max_keyframes, idf=idf)
         self.min_inliers = min_inliers
         self.covis_edge_weight = covis_edge_weight
         self.exclude_recent = exclude_recent
@@ -125,43 +126,85 @@ class LoopCloser:
 
         slam: the SLAM system (provides .m map arrays, .n_kf). Returns True
         if a loop was closed (slam.m replaced with the corrected snapshot).
+        Synchronous wrapper over the two-phase API below.
         """
+        return self.finish_detect(slam, self.start_detect(slam, slot))
+
+    # ------------------------------------------------------------------
+    def start_detect(self, slam, slot: int):
+        """Enqueue the detection math on device — NO host pulls.
+
+        The async-pipeline analogue of the reference's LoopClosing queue
+        (`src/LoopClosing.cc:293` InsertKeyFrame): everything here is device
+        dispatch (BoW transform, covisibility matmul, DetectNBestCandidates),
+        so the caller returns immediately; ``finish_detect`` pulls the tiny
+        winner arrays later, after the device has drained the mapper work.
+        """
+        from orb_slam3_noted_tpu.pipeline import map_state as MS
+        from orb_slam3_noted_tpu.place.database import _detect_nbest
+
         m = slam.m
         word, bow = self.db.compute_bow(
             m.kf_desc[slot], m.kf_feat_valid[slot]
         )
         # exclusion: covisible KFs + recent window (reference excludes
-        # covisibles and requires temporal gap; src/KeyFrameDatabase.cc:611).
-        # The covisibility matrix stays on device (one MXU matmul); only the
-        # small (KF, KF) result is pulled for the host-side consistency sets.
-        from orb_slam3_noted_tpu.pipeline import map_state as MS
-
+        # covisibles and requires a temporal gap; src/KeyFrameDatabase.cc:611).
         covis_dev = MS.covisibility_matrix(m)
-        covis_mat = np.asarray(covis_dev)
-        exclude = covis_mat[slot] > 0
-        # recency on FRAME ids, not slot order (robust to slot recycling;
-        # the reference's exclusion is by mnId gap)
-        fids = np.asarray(m.kf_frame_id)
-        kf_valid = np.asarray(m.kf_valid)
-        recent_fids = np.sort(fids[kf_valid])[-(self.exclude_recent + 1):]
-        min_recent = recent_fids[0] if len(recent_fids) else 0
-        exclude |= kf_valid & (fids >= min_recent)
-        exclude[slot] = True
-        slots, scores = self.db.detect_candidates(
-            bow, exclude, n_best=3, covis=covis_dev
+        # recency by FRAME id from the host-side mirror when the system keeps
+        # one (robust to slot recycling); fallback: slot order
+        fid_mirror = getattr(slam, "kf_frame_ids", None)
+        KF = self.db.bow_mat.shape[0]
+        recent = np.zeros(KF, bool)
+        if fid_mirror is not None:
+            fids = np.asarray(fid_mirror)
+            live = fids >= 0
+            order = np.sort(fids[live])
+            if len(order):
+                min_recent = order[max(0, len(order) - self.exclude_recent - 1)]
+                recent = live & (fids >= min_recent)
+        else:
+            lo = max(0, slot - self.exclude_recent)
+            recent[lo: slot + 1] = True
+        recent[slot] = True
+        exclude_dev = (covis_dev[slot] > 0) | jnp.asarray(recent)
+        slots_dev, scores_dev = _detect_nbest(
+            self.db.bow_mat, self.db.present_dev, bow, exclude_dev,
+            covis_dev, 0.75, 3,
         )
         self.db.add(slot, bow)
+        return {
+            "slot": slot, "covis": covis_dev,
+            "slots": slots_dev, "scores": scores_dev,
+        }
+
+    # ------------------------------------------------------------------
+    def finish_detect(self, slam, pending) -> bool:
+        """Pull detection winners, run consistency + Sim3 verify + correct."""
+        slot = pending["slot"]
+        m = slam.m
+        # ONE bulk pull: winners + the (KF, KF) covis matrix (16 KB) +
+        # keyframe liveness — per-array pulls cost a tunnel round trip each
+        slots_np, covis_np, kf_valid = jax.device_get(
+            (pending["slots"], pending["covis"], m.kf_valid)
+        )
+        # keep the database in sync with keyframe culling (reference
+        # ``KeyFrameDatabase::erase`` on SetBadFlag)
+        for s in np.flatnonzero(self.db.present & ~kf_valid):
+            self.db.erase(int(s))
+
+        slots = [int(s) for s in slots_np[slots_np >= 0] if kf_valid[s]]
         if not slots:
             self.consistent_groups = []
             return False
+        covis_rows = covis_np[np.asarray(slots)]
 
         # --- temporal consistency: a candidate place must be re-detected in
         # `consistency_th` consecutive keyframes (groups linked by
         # covisibility), before geometric verification is allowed ---
         new_groups: list[tuple[set, int]] = []
         verified_cands: list[int] = []
-        for cand in slots:
-            grp = set(np.flatnonzero(covis_mat[cand] > 0).tolist()) | {cand}
+        for ci, cand in enumerate(slots):
+            grp = set(np.flatnonzero(covis_rows[ci] > 0).tolist()) | {cand}
             count = 0
             for prev_grp, prev_count in self.consistent_groups:
                 if grp & prev_grp:
@@ -181,15 +224,21 @@ class LoopCloser:
             x_cand, x_cur, ok = _matched_point_pairs(
                 m, jnp.int32(slot), jnp.int32(cand)
             )
-            if int(jnp.sum(ok)) < self.min_inliers:
-                continue
             res = sim3_ransac(
                 x_cand, x_cur, ok, jax.random.PRNGKey(slot),
                 fix_scale=False,
             )
-            if not bool(res.success) or int(res.n_inliers) < self.min_inliers:
+            n_ok, success, n_inl = jax.device_get(
+                (jnp.sum(ok), res.success, res.n_inliers)
+            )
+            if (
+                int(n_ok) < self.min_inliers
+                or not bool(success)
+                or int(n_inl) < self.min_inliers
+            ):
                 continue
-            self._correct(slam, slot, cand, res, covis=covis_mat)
+            self._correct(slam, slot, cand, res,
+                          covis=covis_np)
             self.loops_closed += 1
             self.last_loop_kf = slot
             self.consistent_groups = []

@@ -60,7 +60,12 @@ class MonoSLAM:
         self.cam = cfg.camera
         self.m = MS.empty_map(cfg)
         self.n_kf = 0
-        self.n_mp = 0
+        self._n_mp = 0
+        self._n_mp_pending = None   # device scalar awaiting lazy sync
+        self._pending_loop = None   # enqueued loop detection (device futures)
+        # host mirror of keyframe frame-ids (avoids device pulls on the loop
+        # closer's recency exclusion; -1 = empty slot)
+        self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
         self.state = NOT_INITIALIZED
         self.ref_feats = None       # first frame features (for init)
         self.ref_frame_id = None
@@ -81,6 +86,39 @@ class MonoSLAM:
         self.localization_only = False
 
     # ------------------------------------------------------------------
+    # deferred-sync allocation pointer: keyframe insertion leaves ``n_mp`` as
+    # a device scalar so the host never blocks on the mapper dispatch (the
+    # single-chip analogue of the reference's async LocalMapping thread);
+    # reading ``n_mp`` syncs lazily.
+    @property
+    def n_mp(self) -> int:
+        if self._n_mp_pending is not None:
+            self._n_mp = int(self._n_mp_pending)
+            self._n_mp_pending = None
+        return self._n_mp
+
+    @n_mp.setter
+    def n_mp(self, v):
+        self._n_mp_pending = None
+        self._n_mp = int(v)
+
+    def _n_mp_for_device(self):
+        """Current allocation pointer WITHOUT forcing a host sync."""
+        if self._n_mp_pending is not None:
+            return self._n_mp_pending
+        return jnp.int32(self._n_mp)
+
+    # ------------------------------------------------------------------
+    def flush(self):
+        """Drain deferred work: pending loop detection + allocator sync."""
+        if self._pending_loop is not None:
+            pending, self._pending_loop = self._pending_loop, None
+            if self.loop_closer.finish_detect(self, pending):
+                self.state = OK
+        _ = self.n_mp
+        return self
+
+    # ------------------------------------------------------------------
     def set_localization_mode(self, on: bool):
         """Reference ``System::ActivateLocalizationMode`` (`src/System.cc:173`)."""
         self.localization_only = bool(on)
@@ -92,6 +130,8 @@ class MonoSLAM:
         self.m = MS.empty_map(cfg)
         self.n_kf = 0
         self.n_mp = 0
+        self._pending_loop = None
+        self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
         self.state = NOT_INITIALIZED
         self.ref_feats = None
         self.ref_frame_id = None
@@ -119,6 +159,8 @@ class MonoSLAM:
     # ------------------------------------------------------------------
     def process(self, img, frame_id: int):
         """Feed one grayscale image (H, W), values in [0, 255]."""
+        if self._pending_loop is not None:
+            self.flush()
         if self.state == NOT_INITIALIZED:
             with TIMER.stage("initialize"):
                 feats = O.extract_orb(
@@ -131,8 +173,12 @@ class MonoSLAM:
                 )
                 self._try_initialize(feats, frame_id)
         else:
-            # fused hot path: uint8 upload + one device dispatch
-            img_u8 = jnp.asarray(np.asarray(img).astype(np.uint8))
+            # fused hot path: uint8 upload (no-op for device-resident
+            # frames) + one device dispatch
+            if isinstance(img, jnp.ndarray):
+                img_u8 = img.astype(jnp.uint8)
+            else:
+                img_u8 = jnp.asarray(np.asarray(img).astype(np.uint8))
             self._track_fused(img_u8, frame_id)
         return self.trajectory[-1] if self.trajectory else None
 
@@ -142,6 +188,12 @@ class MonoSLAM:
         self.process(frame, frame_id)
 
     def _prep_batch(self, frames, n_pad):
+        if isinstance(frames[0], jnp.ndarray):
+            # device-resident frames (pre-staged input pipeline): stack on
+            # device — no host->device transfer on the hot path
+            return jnp.stack(
+                list(frames) + [frames[-1]] * n_pad
+            ).astype(jnp.uint8)
         batch_np = [np.asarray(f).astype(np.uint8) for f in frames]
         pad = batch_np + [batch_np[-1]] * n_pad
         return jnp.asarray(np.stack(pad))
@@ -190,6 +242,8 @@ class MonoSLAM:
         WITHOUT re-extracting (``track_batch_feats``).  This keeps points
         created mid-batch visible to the frames after the keyframe.
         """
+        if self._pending_loop is not None:
+            self.flush()
         cfg = self.cfg
         i = 0
         while self.state == NOT_INITIALIZED and i < len(imgs):
@@ -217,13 +271,15 @@ class MonoSLAM:
                     Rs, ts, n_inls, feats_all, mp_feats, aux = (
                         self._batch_track(prep, vel, cm)
                     )
-                    n_np = np.asarray(n_inls)
-                    Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
-                    ref_now = (
-                        self.last_kf_slot,
-                        np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
-                        np.asarray(self.m.kf_tcw[self.last_kf_slot]),
-                    )
+                    # ONE bulk pull for everything the host needs this
+                    # dispatch — each separate np.asarray costs a full
+                    # device-tunnel round trip (~30 ms measured)
+                    n_np, Rs_np, ts_np, refR, reft = jax.device_get((
+                        n_inls, Rs, ts,
+                        self.m.kf_Rcw[self.last_kf_slot],
+                        self.m.kf_tcw[self.last_kf_slot],
+                    ))
+                    ref_now = (self.last_kf_slot, refR, reft)
                 offset = 0
                 cur_feats, cur_aux = feats_all, aux
             else:
@@ -240,13 +296,12 @@ class MonoSLAM:
                     Rs, ts, n_inls, mp_feats = self._batch_retrack(
                         rolled, aux_rolled, vel, cm
                     )
-                    n_np = np.asarray(n_inls)
-                    Rs_np, ts_np = np.asarray(Rs), np.asarray(ts)
-                    ref_now = (
-                        self.last_kf_slot,
-                        np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
-                        np.asarray(self.m.kf_tcw[self.last_kf_slot]),
-                    )
+                    n_np, Rs_np, ts_np, refR, reft = jax.device_get((
+                        n_inls, Rs, ts,
+                        self.m.kf_Rcw[self.last_kf_slot],
+                        self.m.kf_tcw[self.last_kf_slot],
+                    ))
+                    ref_now = (self.last_kf_slot, refR, reft)
                 offset = pos
                 cur_feats, cur_aux = rolled, aux_rolled
 
@@ -314,7 +369,10 @@ class MonoSLAM:
             self.m, img_u8, jnp.int32(self.last_kf_slot), Rp, tp,
             self.cam, cfg, bf=0.0,
         )
-        self._after_track(feats, frame_id, Rp, tp, Rcw, tcw, int(n_inl),
+        # single bulk pull per frame (a per-array pull costs a ~30 ms
+        # device-tunnel round trip each)
+        Rn, tn, n = jax.device_get((Rcw, tcw, n_inl))
+        self._after_track(feats, frame_id, Rp, tp, Rn, tn, int(n),
                           mp_of_feat, uvr=None, depth=None)
 
     # ------------------------------------------------------------------
@@ -335,11 +393,10 @@ class MonoSLAM:
         self._update_lost_state(True)
         self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
         self.frames_since_kf += 1
-        ref_now = (
-            self.last_kf_slot,
-            np.asarray(self.m.kf_Rcw[self.last_kf_slot]),
-            np.asarray(self.m.kf_tcw[self.last_kf_slot]),
-        )
+        ref_now = (self.last_kf_slot,) + tuple(jax.device_get((
+            self.m.kf_Rcw[self.last_kf_slot],
+            self.m.kf_tcw[self.last_kf_slot],
+        )))
         self._record(frame_id, Rcw, tcw, n_inl, ref_pose=ref_now)
         need_kf = (
             (
@@ -393,29 +450,33 @@ class MonoSLAM:
         )
         idx = mm.idx
         matched = idx >= 0
-        n_matches = int(jnp.sum(matched))
-        if n_matches < 100:
+        rays1 = cam_mod.unproject(self.cam, ref.xy)
+        rays2 = cam_mod.unproject(self.cam, feats.xy[jnp.clip(idx, 0)])
+        fx = self.cam.fx
+        # reconstruction runs unconditionally (device compute is cheap; a
+        # host round-trip to gate on the match count is not) and everything
+        # the host branches on comes back in ONE bulk pull
+        res = reconstruct_two_views(
+            rays1, rays2, matched, jax.random.PRNGKey(frame_id),
+            err_thresh=3.84 / (fx * fx),
+        )
+        n_matches, success, good, pts1_np, R21_np, t21_np = jax.device_get((
+            jnp.sum(matched), res.success, res.is_inlier,
+            res.points1, res.R21, res.t21,
+        ))
+        if int(n_matches) < 100:
             # reference resets the initializer if matching is too weak
             self.ref_feats = feats
             self.ref_frame_id = frame_id
             self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
             return
-
-        rays1 = cam_mod.unproject(self.cam, ref.xy)
-        rays2 = cam_mod.unproject(self.cam, feats.xy[jnp.clip(idx, 0)])
-        fx = self.cam.fx
-        res = reconstruct_two_views(
-            rays1, rays2, matched, jax.random.PRNGKey(frame_id),
-            err_thresh=3.84 / (fx * fx),
-        )
-        if not bool(res.success):
+        if not bool(success):
             self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
             return
 
         # normalize scale: median depth of accepted points -> 1 (reference
         # CreateInitialMapMonocular)
-        good = np.asarray(res.is_inlier)
-        z = np.asarray(res.points1)[:, 2]
+        z = pts1_np[:, 2]
         med = float(np.median(z[good]))
         scale = 1.0 / max(med, 1e-6)
         pts_w = res.points1 * scale        # KF0 frame == world
@@ -448,8 +509,10 @@ class MonoSLAM:
             jnp.int32(0), jnp.arange(NF, dtype=jnp.int32),
             jnp.int32(1), jnp.clip(idx, 0),
         )
-        self.n_mp = int(jnp.sum(accept))
+        self.n_mp = int(np.sum(good))
         self.n_kf = 2
+        self.kf_frame_ids[0] = int(self.ref_frame_id)
+        self.kf_frame_ids[1] = int(frame_id)
         # full BA over the initial map (reference GlobalBundleAdjustemnt(20))
         m = T.local_ba(m, jnp.int32(1), self.cam, cfg, window=1)
         self.m = m
@@ -458,7 +521,7 @@ class MonoSLAM:
         self.frames_since_kf = 0
         self.tracked_at_kf = self.n_mp
         self.vel = None
-        self._record(frame_id, res.R21, t21, self.n_mp)
+        self._record(frame_id, R21_np, t21_np * scale, self.n_mp)
 
     # ------------------------------------------------------------------
     def _track(self, feats, frame_id, uvr=None, depth=None):
@@ -542,12 +605,15 @@ class MonoSLAM:
         with TIMER.stage("insert_keyframe"):
             self.m, n_mp = T.insert_keyframe_step(
                 self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
-                feats, mp_of_feat, uvr_arr, depth_arr, jnp.int32(self.n_mp),
+                feats, mp_of_feat, uvr_arr, depth_arr,
+                self._n_mp_for_device(),
                 self.cam, cfg, n_neighbors=cfg.triangulate_neighbors,
                 bf=cfg.bf, has_depth=depth is not None,
             )
             self.n_kf += 1
-            self.n_mp = int(n_mp)
+            # deferred sync: the host does NOT wait for the mapper dispatch
+            self._n_mp_pending = n_mp
+        self.kf_frame_ids[slot] = int(frame_id)
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
@@ -570,7 +636,7 @@ class MonoSLAM:
         from orb_slam3_noted_tpu.place.pretrained import load_default_vocabulary
 
         if self.loop_closer is None:
-            vocab = load_default_vocabulary()
+            vocab, idf = load_default_vocabulary()
             if vocab is None:
                 desc = np.asarray(feats.desc)[np.asarray(feats.valid)]
                 vocab = train_vocabulary(
@@ -578,12 +644,17 @@ class MonoSLAM:
                     n_words=min(self.cfg.vocab_words, max(len(desc) // 2, 16)),
                     n_iters=6,
                 )
+                idf = None
             self.loop_closer = LoopCloser(
                 vocab, self.cfg.max_keyframes,
                 min_inliers=self.cfg.loop_min_inliers,
+                idf=idf,
             )
-        if self.loop_closer.on_keyframe(self, slot):
-            self.state = OK
+        # detection is ENQUEUED here (device-only) and finished at the next
+        # frame boundary — the host never blocks on the mapper dispatch
+        if self._pending_loop is not None:
+            self.flush()
+        self._pending_loop = self.loop_closer.start_detect(self, slot)
 
     # ------------------------------------------------------------------
     def _add_candidates(self, m, slot, out, kf_b=None):
@@ -643,6 +714,14 @@ class StereoSLAM(MonoSLAM):
         self.process(frame[0], frame[1], frame_id)
 
     def _prep_batch(self, frames, n_pad):
+        if isinstance(frames[0][0], jnp.ndarray):
+            ls = jnp.stack(
+                [f[0] for f in frames] + [frames[-1][0]] * n_pad
+            ).astype(jnp.uint8)
+            rs = jnp.stack(
+                [f[1] for f in frames] + [frames[-1][1]] * n_pad
+            ).astype(jnp.uint8)
+            return ls, rs
         ls = [np.asarray(f[0]).astype(np.uint8) for f in frames]
         rs = [np.asarray(f[1]).astype(np.uint8) for f in frames]
         ls = ls + [ls[-1]] * n_pad
@@ -713,6 +792,7 @@ class StereoSLAM(MonoSLAM):
             jnp.full((cfg.n_features,), -1, jnp.int32), uvr,
         )
         self.n_kf = 1
+        self.kf_frame_ids[0] = int(frame_id)
         # all valid-depth features become points: override the candidate
         # accept mask (no close/far limit at init, as in the reference)
         out = T.stereo_points_from_depth(

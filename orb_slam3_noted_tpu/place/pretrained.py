@@ -19,10 +19,18 @@ _ASSET = os.path.join(os.path.dirname(__file__), "..", "assets", "vocab32k.npz")
 
 
 @lru_cache(maxsize=1)
-def load_default_vocabulary() -> np.ndarray | None:
-    """(W, 8) uint32 packed centroid bank, or None if not shipped."""
+def load_default_vocabulary():
+    """((W, 8) uint32 packed centroid bank, (W,) f32 idf or None).
+
+    Returns (None, None) if the asset is not shipped.  ``idf`` mirrors the
+    word weights DBoW2 stores in the vocabulary file
+    (`Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h` setNodeWeights: idf from
+    the training corpus).
+    """
     path = os.path.abspath(_ASSET)
     if not os.path.exists(path):
-        return None
+        return None, None
     with np.load(path) as f:
-        return f["vocab"]
+        vocab = f["vocab"]
+        idf = f["idf"].astype(np.float32) if "idf" in f.files else None
+    return vocab, idf
