@@ -53,7 +53,7 @@ def main():
     frames_dev = jax.device_put(frames_np)   # one-time staging (see docstring)
     frames = [frames_dev[i] for i in range(n_frames)]
 
-    B = 8  # frames per device dispatch (throughput mode)
+    B = 16  # frames per device dispatch (throughput mode)
 
     def run_lap():
         slam = MonoSLAM(cfg)

@@ -51,8 +51,12 @@ class SlamConfig:
     kf_tracked_ratio: float = 0.9    # new KF when tracked < ratio * ref visible
     local_window: int = 10           # covisible KFs for local map / local BA
     triangulate_neighbors: int = 8   # covisible KFs matched for new points
-    ba_iters: int = 5                # robust LM iterations in local BA
-    ba_iters_final: int = 5          # post-outlier-reclassify iterations
+    # re-track the rest of a batch after a mid-batch keyframe (tighter than
+    # the reference, whose tracking keeps using the pre-KF map until the
+    # async mapper lands; costs a second dispatch per keyframe)
+    retrack_after_kf: bool = False
+    ba_iters: int = 4                # robust LM iterations in local BA
+    ba_iters_final: int = 3          # post-outlier-reclassify iterations
 
     # --- matching ---
     nn_ratio_track: float = 0.9

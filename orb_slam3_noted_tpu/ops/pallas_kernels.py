@@ -102,11 +102,87 @@ def _fast_pallas_fn(h: int, w: int):
     )
 
 
+def _fast_kernel_b(img_ref, out_ref):
+    """Batched FAST: one image per grid step.
+
+    Unlike the 2D kernel (which row-slices its ref), the (1, H+6, W) block
+    is loaded as a VALUE and sliced with lax.slice — mosaic requires
+    8-aligned slicing on dim 1 of 3D memrefs, which the +-3-row ring reads
+    cannot satisfy on a ref.
+    """
+    H = out_ref.shape[1]
+    W = out_ref.shape[2]
+    img = img_ref[0]  # (H+6, W) value
+    chunks = []
+    r = 0
+    while r < H:
+        ch = min(_FAST_CHUNK, H - r)
+        x = jax.lax.slice(img, (r + 3, 0), (r + 3 + ch, W))
+        ds = []
+        for dy, dx in CIRCLE_16:
+            n = jax.lax.slice(img, (r + 3 + int(dy), 0), (r + 3 + int(dy) + ch, W))
+            if dx:
+                n = pltpu.roll(n, (-int(dx)) % n.shape[1], 1)
+            ds.append(n - x)
+
+        def windowed_min(vals):
+            m = list(vals)
+            covered = 1
+            while covered < ARC:
+                s = min(covered, ARC - covered)
+                m = [jnp.minimum(m[k], m[(k + s) % 16]) for k in range(16)]
+                covered += s
+            return m
+
+        bright = windowed_min(ds)
+        dark = windowed_min([-d for d in ds])
+        sb = bright[0]
+        sd = dark[0]
+        for k in range(1, 16):
+            sb = jnp.maximum(sb, bright[k])
+            sd = jnp.maximum(sd, dark[k])
+        chunks.append(jnp.maximum(sb, sd))
+        r += ch
+    # one aligned full-block write (unaligned row-slice stores on a 3D ref
+    # hit the same mosaic tiling restriction as reads)
+    out_ref[0] = jnp.concatenate(chunks, axis=0)
+
+
+@functools.cache
+def _fast_pallas_batched_fn(b: int, h: int, w: int):
+    return jax.jit(
+        lambda imgs: pl.pallas_call(
+            _fast_kernel_b,
+            grid=(b,),
+            out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((1, h + 6, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(jnp.pad(imgs, ((0, 0), (3, 3), (0, 0))))
+    )
+
+
+if _HAS_PALLAS:
+    @jax.custom_batching.custom_vmap
+    def _fast_tpu(img):
+        h, w = img.shape
+        return _fast_pallas_fn(h, w)(img)
+
+    @_fast_tpu.def_vmap
+    def _fast_tpu_vmap(axis_size, in_batched, imgs):
+        # vmap of pallas_call would synthesize an illegal block mapping on
+        # mosaic; route batches to an explicit grid over images instead
+        b, h, w = imgs.shape
+        return _fast_pallas_batched_fn(b, h, w)(imgs), True
+
+
 def fast_score(img: jnp.ndarray) -> jnp.ndarray:
     """FAST-9/16 score map; Pallas on TPU, jnp fallback elsewhere."""
     if _HAS_PALLAS and _on_tpu():
-        h, w = img.shape
-        return _fast_pallas_fn(h, w)(img.astype(jnp.float32))
+        return _fast_tpu(img.astype(jnp.float32))
     return fast_ref.fast_score(img)
 
 
@@ -138,11 +214,56 @@ def _blur_pallas_fn(h: int, w: int):
     )
 
 
+def _blur_kernel_b(img_ref, k_ref, out_ref):
+    x = img_ref[0]
+    k = k_ref[0]
+    r = 3
+    acc = x * k[r]
+    for i in range(1, r + 1):
+        acc += (_roll2(x, 0, -i) + _roll2(x, 0, i)) * k[r - i]
+    acc2 = acc * k[r]
+    for i in range(1, r + 1):
+        acc2 += (_roll2(acc, -i, 0) + _roll2(acc, i, 0)) * k[r - i]
+    out_ref[0] = acc2
+
+
+@functools.cache
+def _blur_pallas_batched_fn(b: int, h: int, w: int):
+    return jax.jit(
+        lambda imgs, k: pl.pallas_call(
+            _blur_kernel_b,
+            grid=(b,),
+            out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 7), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(imgs, k)
+    )
+
+
+if _HAS_PALLAS:
+    @jax.custom_batching.custom_vmap
+    def _blur_tpu(img, k):
+        h, w = img.shape
+        return _blur_pallas_fn(h, w)(img, k)
+
+    @_blur_tpu.def_vmap
+    def _blur_tpu_vmap(axis_size, in_batched, imgs, k):
+        if in_batched[1]:  # kernel taps are identical across the batch
+            k = k[0]
+        b, h, w = imgs.shape
+        return _blur_pallas_batched_fn(b, h, w)(imgs, k), True
+
+
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """7x7 separable Gaussian blur (circular edges on TPU — the 3-px border
     is outside the keypoint margin anyway); reflect-pad jnp fallback off-TPU."""
     if _HAS_PALLAS and _on_tpu():
-        h, w = img.shape
         k = jnp.asarray(image_ref.gaussian_kernel1d(7, sigma))[None, :]
-        return _blur_pallas_fn(h, w)(img.astype(jnp.float32), k)
+        return _blur_tpu(img.astype(jnp.float32), k)
     return image_ref.gaussian_blur(img, 7, sigma)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_noted_tpu.geometry import se3, so3
+from orb_slam3_noted_tpu.ops.segsum import segment_sum_mxu
 from orb_slam3_noted_tpu.geometry.linalg3 import inv3
 from orb_slam3_noted_tpu.models import cameras as cam_mod
 from orb_slam3_noted_tpu.optim import factors
@@ -121,19 +122,19 @@ def _lm_step(cam, Rcw, tcw, points, obs, kf_slots, pose_fixed_w, point_fixed,
 
     wJp = w[:, None, None] * Jp
     W_o = jnp.einsum("oai,oaj->oij", wJp, Jl, precision=_HP)       # (O, 6, 3)
-    Hpp = jax.ops.segment_sum(
+    Hpp = segment_sum_mxu(
         jnp.einsum("oai,oaj->oij", wJp, Jp, precision=_HP),
         obs.wpose_idx, num_segments=KW + 1,
     )[:KW]
-    gp = jax.ops.segment_sum(
+    gp = segment_sum_mxu(
         jnp.einsum("oai,oa->oi", Jp, w[:, None] * r, precision=_HP),
         obs.wpose_idx, num_segments=KW + 1,
     )[:KW]
-    Hll = jax.ops.segment_sum(
+    Hll = segment_sum_mxu(
         jnp.einsum("oai,oaj->oij", w[:, None, None] * Jl, Jl, precision=_HP),
         obs.point_idx, num_segments=M,
     )
-    gl = jax.ops.segment_sum(
+    gl = segment_sum_mxu(
         jnp.einsum("oai,oa->oi", Jl, w[:, None] * r, precision=_HP),
         obs.point_idx, num_segments=M,
     )
@@ -148,12 +149,20 @@ def _lm_step(cam, Rcw, tcw, points, obs, kf_slots, pose_fixed_w, point_fixed,
     )[:, None, None] * eye3
     Cinv = inv3(Hll_d)
 
-    # per-landmark pose coupling U_m: segment over joint (point, wpose) key;
-    # anchor rows (wpose == KW) go to the dropped tail column
-    key = obs.point_idx * (KW + 1) + obs.wpose_idx
-    U = jax.ops.segment_sum(
-        W_o, key, num_segments=M * (KW + 1)
-    ).reshape(M, KW + 1, 6, 3)[:, :KW]                      # (M, KW, 6, 3)
+    # per-landmark pose coupling U_m = sum_o 1[point_o=m] 1[wpose_o=p] W_o:
+    # expand the (small) wpose one-hot elementwise, then ONE point-indexed
+    # reduction.  Anchor rows have W_o == 0 (Jp masked), so the dropped
+    # tail column costs nothing.
+    ohp = (
+        obs.wpose_idx[:, None] == jnp.arange(KW, dtype=obs.wpose_idx.dtype)
+    ).astype(dtype)                                          # (O, KW)
+    WP = W_o[:, None, :, :] * ohp[:, :, None, None]          # (O, KW, 6, 3)
+    # bf16 operands: this is the big contraction (O x M x KW*18 MACs); the
+    # 0.4% operand rounding only perturbs the Schur coupling — every LM
+    # step is cost-checked against the EXACT robust cost, so a slightly
+    # off step direction can never diverge the solve
+    U = segment_sum_mxu(WP, obs.point_idx, num_segments=M,
+                        precision=jax.lax.Precision.DEFAULT)  # (M, KW, 6, 3)
 
     T1 = jnp.einsum("mpab,mbc->mpac", U, Cinv, precision=_HP)
     S_sub = jnp.einsum("mpac,mqbc->paqb", T1, U, precision=_HP)  # (KW,6,KW,6)

@@ -180,18 +180,33 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def finish_detect(self, slam, pending) -> bool:
         """Pull detection winners, run consistency + Sim3 verify + correct."""
-        slot = pending["slot"]
-        m = slam.m
-        # ONE bulk pull: winners + the (KF, KF) covis matrix (16 KB) +
-        # keyframe liveness — per-array pulls cost a tunnel round trip each
-        slots_np, covis_np, kf_valid = jax.device_get(
-            (pending["slots"], pending["covis"], m.kf_valid)
+        return self.finish_detect_many(slam, [pending])
+
+    def finish_detect_many(self, slam, pendings) -> bool:
+        """Finish several queued detections with ONE bulk device pull.
+
+        Detections are enqueued per keyframe but corrections are rare, so
+        draining the queue at a frame boundary with a single transfer costs
+        one tunnel round trip regardless of how many keyframes landed since.
+        Returns True if any loop was closed.
+        """
+        pulled = jax.device_get(
+            [(p["slots"], p["covis"]) for p in pendings] + [slam.m.kf_valid]
         )
+        kf_valid = pulled[-1]
         # keep the database in sync with keyframe culling (reference
         # ``KeyFrameDatabase::erase`` on SetBadFlag)
         for s in np.flatnonzero(self.db.present & ~kf_valid):
             self.db.erase(int(s))
+        closed = False
+        for p, (slots_np, covis_np) in zip(pendings, pulled[:-1]):
+            closed |= self._finish_one(
+                slam, p["slot"], slots_np, covis_np, kf_valid
+            )
+        return closed
 
+    def _finish_one(self, slam, slot, slots_np, covis_np, kf_valid) -> bool:
+        m = slam.m
         slots = [int(s) for s in slots_np[slots_np >= 0] if kf_valid[s]]
         if not slots:
             self.consistent_groups = []

@@ -62,7 +62,7 @@ class MonoSLAM:
         self.n_kf = 0
         self._n_mp = 0
         self._n_mp_pending = None   # device scalar awaiting lazy sync
-        self._pending_loop = None   # enqueued loop detection (device futures)
+        self._pending_loops = []    # enqueued loop detections (device futures)
         # host mirror of keyframe frame-ids (avoids device pulls on the loop
         # closer's recency exclusion; -1 = empty slot)
         self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
@@ -111,9 +111,9 @@ class MonoSLAM:
     # ------------------------------------------------------------------
     def flush(self):
         """Drain deferred work: pending loop detection + allocator sync."""
-        if self._pending_loop is not None:
-            pending, self._pending_loop = self._pending_loop, None
-            if self.loop_closer.finish_detect(self, pending):
+        if self._pending_loops:
+            pendings, self._pending_loops = self._pending_loops, []
+            if self.loop_closer.finish_detect_many(self, pendings):
                 self.state = OK
         _ = self.n_mp
         return self
@@ -130,7 +130,7 @@ class MonoSLAM:
         self.m = MS.empty_map(cfg)
         self.n_kf = 0
         self.n_mp = 0
-        self._pending_loop = None
+        self._pending_loops = []
         self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
         self.state = NOT_INITIALIZED
         self.ref_feats = None
@@ -159,7 +159,7 @@ class MonoSLAM:
     # ------------------------------------------------------------------
     def process(self, img, frame_id: int):
         """Feed one grayscale image (H, W), values in [0, 255]."""
-        if self._pending_loop is not None:
+        if self._pending_loops:
             self.flush()
         if self.state == NOT_INITIALIZED:
             with TIMER.stage("initialize"):
@@ -242,7 +242,7 @@ class MonoSLAM:
         WITHOUT re-extracting (``track_batch_feats``).  This keeps points
         created mid-batch visible to the frames after the keyframe.
         """
-        if self._pending_loop is not None:
+        if self._pending_loops:
             self.flush()
         cfg = self.cfg
         i = 0
@@ -305,7 +305,12 @@ class MonoSLAM:
                 offset = pos
                 cur_feats, cur_aux = rolled, aux_rolled
 
-            # walk frames, committing until a keyframe trigger fires
+            # walk frames; insert keyframes where the policy fires.  With
+            # retrack_after_kf the walk stops at the first keyframe and the
+            # rest of the batch re-tracks against the updated map; without
+            # it (default — the reference's tracking also continues on the
+            # pre-KF map until the async mapper lands) the walk covers the
+            # whole batch in one pass.
             k_kf = None
             for k in range(n_real - pos):
                 j = pos + k          # batch index of this frame
@@ -331,7 +336,6 @@ class MonoSLAM:
                     )
                 )
                 if need:
-                    k_kf = j
                     feats_k = jax.tree_util.tree_map(
                         lambda x: x[d], cur_feats
                     )
@@ -340,22 +344,14 @@ class MonoSLAM:
                         feats_k, ids[j], Rs_np[d], ts_np[d], mp_feats[d], n,
                         uvr=uvr_k, depth=depth_k,
                     )
-                    break
+                    if cfg.retrack_after_kf and attempts < 3 and j + 1 < n_real:
+                        k_kf = j
+                        break
             if k_kf is None:
                 pos = n_real
             else:
                 pos = k_kf + 1
                 attempts += 1
-                if attempts >= 3:
-                    # safety: commit the rest without further re-tracks
-                    for k in range(pos, n_real):
-                        d = k - offset
-                        n = int(n_np[d])
-                        self._update_lost_state(n >= cfg.min_tracked_points)
-                        self.frames_since_kf += 1
-                        self._record(ids[k], Rs_np[d], ts_np[d], n,
-                                     ref_pose=ref_now)
-                    pos = n_real
         return self.trajectory[-1]
 
     # ------------------------------------------------------------------
@@ -651,10 +647,9 @@ class MonoSLAM:
                 idf=idf,
             )
         # detection is ENQUEUED here (device-only) and finished at the next
-        # frame boundary — the host never blocks on the mapper dispatch
-        if self._pending_loop is not None:
-            self.flush()
-        self._pending_loop = self.loop_closer.start_detect(self, slot)
+        # frame boundary — the host never blocks on the mapper dispatch, and
+        # several queued detections drain with one bulk pull
+        self._pending_loops.append(self.loop_closer.start_detect(self, slot))
 
     # ------------------------------------------------------------------
     def _add_candidates(self, m, slot, out, kf_b=None):
