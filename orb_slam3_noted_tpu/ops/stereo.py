@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orb_slam3_noted_tpu.ops import matching as M
 from orb_slam3_noted_tpu.ops.orb import FrameFeatures, scale_factors
@@ -82,57 +83,74 @@ def match_stereo(
     idx_r = jnp.argmin(masked, axis=1)
     have = best < th_orb
 
-    # ---- SAD subpixel at the left keypoint's level ----
+    # ---- SAD subpixel at the left keypoint's level, via a pyramid ATLAS ----
+    # Round 2 looped the 8 levels, gathering (NL, 11, 21) patches PER level
+    # (masked for the other levels' keypoints) — 8x redundant gathers that
+    # dominated the stereo frontend (~40 ms/frame measured).  Instead the
+    # levels are stacked into one tall (sum h_l, W0) image per side and every
+    # keypoint gathers once from its own level's row band.
     lvl = left.level
     uL0 = left.xy[:, 0]
     uR0 = right.xy[idx_r, 0]
     vL0 = left.xy[:, 1]
+    dtype = left.xy.dtype
 
-    u_best = jnp.full((NL,), -1.0, left.xy.dtype)
-    sad_best = jnp.full((NL,), jnp.inf, left.xy.dtype)
-    ok_all = jnp.zeros((NL,), bool)
+    H0, W0 = pyr_left[0].shape[-2], pyr_left[0].shape[-1]
+    hs = [int(p.shape[-2]) for p in pyr_left]
+    ws = [int(p.shape[-1]) for p in pyr_left]
+    row_off = np.concatenate([[0], np.cumsum(hs)])[:n_levels]
+    atlas_l = jnp.concatenate(
+        [jnp.pad(p, ((0, 0), (0, W0 - w))) for p, w in zip(pyr_left, ws)], axis=0
+    )
+    atlas_r = jnp.concatenate(
+        [jnp.pad(p, ((0, 0), (0, W0 - w))) for p, w in zip(pyr_right, ws)], axis=0
+    )
+    sx_t = jnp.asarray([W0 / w for w in ws], dtype)
+    sy_t = jnp.asarray([H0 / h for h in hs], dtype)
+    off_t = jnp.asarray(row_off, jnp.int32)
+    h_t = jnp.asarray(hs, jnp.int32)
+    w_t = jnp.asarray(ws, jnp.int32)
 
-    H0, W0 = pyr_left[0].shape
-    for l in range(n_levels):
-        imL = pyr_left[l]
-        imR = pyr_right[l]
-        # Exact level mapping: half-pixel centers with the ACTUAL per-axis
-        # resize ratio (see extract_orb) — nominal 1.2^l biases disparity.
-        sx = W0 / imL.shape[1]
-        sy = H0 / imL.shape[0]
-        to_u = lambda u: (u + 0.5) / sx - 0.5
-        to_v = lambda v: (v + 0.5) / sy - 0.5
-        cu = jnp.round(to_u(uL0)).astype(jnp.int32)
-        cv = jnp.round(to_v(vL0)).astype(jnp.int32)
-        cur = jnp.round(to_u(uR0)).astype(jnp.int32)
-        sel = have & (lvl == l)
+    sx = sx_t[lvl]
+    sy = sy_t[lvl]
+    cu = jnp.round((uL0 + 0.5) / sx - 0.5).astype(jnp.int32)
+    cv = jnp.round((vL0 + 0.5) / sy - 0.5).astype(jnp.int32)
+    cur = jnp.round((uR0 + 0.5) / sx - 0.5).astype(jnp.int32)
 
-        patchL = _gather_patch(imL, cv, cu, 2 * _W + 1, 2 * _W + 1)      # (NL,11,11)
-        strip = _gather_patch(imR, cv, cur, 2 * _W + 1, 2 * (_W + _L) + 1)  # (NL,11,21)
-        # SAD for the 11 horizontal shifts
-        sads = []
-        for inc in range(2 * _L + 1):
-            sads.append(
-                jnp.sum(jnp.abs(patchL - strip[:, :, inc : inc + 2 * _W + 1]), axis=(1, 2))
-            )
-        sads = jnp.stack(sads, axis=1)  # (NL, 11)
-        k = jnp.argmin(sads, axis=1)
-        interior = (k > 0) & (k < 2 * _L)
-        km = jnp.clip(k, 1, 2 * _L - 1)
-        d1 = jnp.take_along_axis(sads, (km - 1)[:, None], 1)[:, 0]
-        d2 = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
-        d3 = jnp.take_along_axis(sads, (km + 1)[:, None], 1)[:, 0]
-        denom = d1 + d3 - 2.0 * d2
-        delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / (2.0 * denom), 0.0)
-        good_delta = (delta >= -1.0) & (delta <= 1.0) & interior
-        u_lvl = cur.astype(left.xy.dtype) + (km - _L) + delta
-        uR_lvl = (u_lvl + 0.5) * sx - 0.5  # inverse half-pixel mapping
-        sad = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
+    # per-keypoint clamped atlas windows (rows stay inside the level band)
+    dy = jnp.arange(-_W, _W + 1)
+    yy = jnp.clip(cv[:, None] + dy[None, :], 0, h_t[lvl][:, None] - 1)
+    yy = yy + off_t[lvl][:, None]                               # (NL, 11)
+    dxl = jnp.arange(-_W, _W + 1)
+    xxl = jnp.clip(cu[:, None] + dxl[None, :], 0, w_t[lvl][:, None] - 1)
+    dxr = jnp.arange(-(_W + _L), _W + _L + 1)
+    xxr = jnp.clip(cur[:, None] + dxr[None, :], 0, w_t[lvl][:, None] - 1)
+    patchL = atlas_l[yy[:, :, None], xxl[:, None, :]]           # (NL, 11, 11)
+    strip = atlas_r[yy[:, :, None], xxr[:, None, :]]            # (NL, 11, 21)
 
-        use = sel & good_delta
-        u_best = jnp.where(use, uR_lvl, u_best)
-        sad_best = jnp.where(use, sad, sad_best)
-        ok_all = ok_all | use
+    # SAD for the 11 horizontal shifts
+    sads = []
+    for inc in range(2 * _L + 1):
+        sads.append(
+            jnp.sum(jnp.abs(patchL - strip[:, :, inc : inc + 2 * _W + 1]), axis=(1, 2))
+        )
+    sads = jnp.stack(sads, axis=1)  # (NL, 11)
+    k = jnp.argmin(sads, axis=1)
+    interior = (k > 0) & (k < 2 * _L)
+    km = jnp.clip(k, 1, 2 * _L - 1)
+    d1 = jnp.take_along_axis(sads, (km - 1)[:, None], 1)[:, 0]
+    d2 = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
+    d3 = jnp.take_along_axis(sads, (km + 1)[:, None], 1)[:, 0]
+    denom = d1 + d3 - 2.0 * d2
+    delta = jnp.where(jnp.abs(denom) > 1e-9, (d1 - d3) / (2.0 * denom), 0.0)
+    good_delta = (delta >= -1.0) & (delta <= 1.0) & interior
+    u_lvl = cur.astype(dtype) + (km - _L) + delta
+    uR_best = (u_lvl + 0.5) * sx - 0.5  # inverse half-pixel mapping
+    sad_best = jnp.take_along_axis(sads, km[:, None], 1)[:, 0]
+
+    ok_all = have & good_delta
+    u_best = jnp.where(ok_all, uR_best, -1.0)
+    sad_best = jnp.where(ok_all, sad_best, jnp.inf)
 
     disparity = uL0 - u_best
     in_range = (disparity >= 0.0) & (disparity < max_d)
