@@ -55,9 +55,11 @@ def _eight_point_essential(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     A = jnp.stack(
         [a2 * a1, a2 * b1, a2, b2 * a1, b2 * b1, b2, a1, b1, one], axis=-1
     )  # (H, 8, 9)
-    # nullspace: last right singular vector
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    E = Vt[..., -1, :].reshape(-1, 3, 3)
+    # nullspace via the batched 9x9 Gram eigenproblem (cheaper than batched
+    # SVD of the rectangular systems on TPU)
+    G = jnp.einsum("hki,hkj->hij", A, A)
+    _, V = jnp.linalg.eigh(G)
+    E = V[..., :, 0].reshape(-1, 3, 3)
     # project to essential manifold: singular values -> (1, 1, 0)
     U, S, Vt2 = jnp.linalg.svd(E)
     D = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
@@ -103,8 +105,9 @@ def _four_point_homography(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
     r1 = jnp.concatenate([z, -x1, v2[..., None] * x1], axis=-1)  # (H, 4, 9)
     r2 = jnp.concatenate([x1, z, -u2[..., None] * x1], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)  # (H, 8, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    return Vt[..., -1, :].reshape(-1, 3, 3)
+    G = jnp.einsum("hki,hkj->hij", A, A)
+    _, V = jnp.linalg.eigh(G)
+    return V[..., :, 0].reshape(-1, 3, 3)
 
 
 def _transfer_errors(Hm: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray):
@@ -343,8 +346,12 @@ def reconstruct_two_views(
     D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype))
     for _ in range(2):
         w = inl_best_e.astype(dtype)
-        _, _, Vt = jnp.linalg.svd(A_full * w[:, None], full_matrices=True)
-        E_ls = Vt[-1].reshape(3, 3)
+        # nullspace via the 9x9 Gram eigenproblem (a full SVD of the
+        # (N, 9) system materializes the N x N left factor — ~100x the work)
+        Aw = A_full * w[:, None]
+        G = Aw.T @ Aw
+        _, V = jnp.linalg.eigh(G)
+        E_ls = V[:, 0].reshape(3, 3)
         U, _, Vt2 = jnp.linalg.svd(E_ls)
         E_best = U @ D @ Vt2
         err_best = _sampson_error(E_best[None], rays1, rays2)[0]
@@ -359,8 +366,9 @@ def reconstruct_two_views(
     for _ in range(2):
         wh = inl_best_h.astype(dtype)[:, None]
         Ah = jnp.concatenate([rows1_full * wh, rows2_full * wh], axis=0)
-        _, _, Vth = jnp.linalg.svd(Ah, full_matrices=True)
-        H_best = Vth[-1].reshape(3, 3)
+        Gh = Ah.T @ Ah
+        _, Vh = jnp.linalg.eigh(Gh)
+        H_best = Vh[:, 0].reshape(3, 3)
         e12b, e21b = _transfer_errors(H_best[None], rays1, rays2)
         inl_best_h = (e12b[0] < th_score) & (e21b[0] < th_score) & valid
 

@@ -198,6 +198,9 @@ class LoopCloser:
         # ``KeyFrameDatabase::erase`` on SetBadFlag)
         for s in np.flatnonzero(self.db.present & ~kf_valid):
             self.db.erase(int(s))
+        # refresh the system's recycled-slot list from the same pull
+        if hasattr(slam, "_refill_free_slots"):
+            slam._refill_free_slots(kf_valid)
         closed = False
         for p, (slots_np, covis_np) in zip(pendings, pulled[:-1]):
             closed |= self._finish_one(

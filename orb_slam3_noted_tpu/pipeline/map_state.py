@@ -404,12 +404,60 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
         jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,
     )
     keep = ~cull
+    kf_valid = m.kf_valid & keep
+    obs_mat = m.obs_mat & keep[:, None]
+    # re-home points whose reference keyframe was culled to their first
+    # surviving observer (reference ``MapPoint::EraseObservation`` updates
+    # mpRefKF) — required for slot recycling: a recycled slot must not be
+    # mistaken for a live reference
+    ref_dead = ~kf_valid[m.mp_ref_kf]
+    new_ref = jnp.argmax(obs_mat, axis=0).astype(jnp.int32)  # first observer
+    has_obs = jnp.any(obs_mat, axis=0)
+    mp_ref_kf = jnp.where(ref_dead & has_obs, new_ref, m.mp_ref_kf)
     return m._replace(
-        kf_valid=m.kf_valid & keep,
+        kf_valid=kf_valid,
         mp_nobs=m.mp_nobs - dec_final,
-        obs_mat=m.obs_mat & keep[:, None],
+        obs_mat=obs_mat,
         kf_mp=jnp.where(cull[:, None], -1, m.kf_mp),
+        mp_ref_kf=mp_ref_kf,
     )
+
+
+@jax.jit
+def compact_map_points(m: MapArrays):
+    """Compact valid map points to the front; free the culled slots.
+
+    The device-side half of the free-list lifecycle (SURVEY §7 "maps of
+    capped KF/MP capacity with free-lists"; reference
+    ``Map::EraseMapPoint``): a long run continually culls points, and
+    without recycling the monotone allocator hits capacity and silently
+    stops creating landmarks.  One dispatch: stable-partition the point
+    table by validity, remap every binding.  Returns (m, n_valid).
+    """
+    MP = m.mp_pos.shape[0]
+    iota = jnp.arange(MP, dtype=jnp.int32)
+    order_key = jnp.where(m.mp_valid, iota, iota + MP)  # stable, valid first
+    perm = jnp.argsort(order_key).astype(jnp.int32)     # new pos -> old idx
+    inv = jnp.zeros(MP, jnp.int32).at[perm].set(iota)   # old idx -> new pos
+
+    gather = lambda a: a[perm]
+    bound_valid = (m.kf_mp >= 0) & m.mp_valid[jnp.clip(m.kf_mp, 0)]
+    kf_mp = jnp.where(bound_valid, inv[jnp.clip(m.kf_mp, 0)], -1)
+    m = m._replace(
+        mp_pos=gather(m.mp_pos),
+        mp_valid=gather(m.mp_valid),
+        mp_desc=gather(m.mp_desc),
+        mp_normal=gather(m.mp_normal),
+        mp_dmin=gather(m.mp_dmin),
+        mp_dmax=gather(m.mp_dmax),
+        mp_ref_kf=gather(m.mp_ref_kf),
+        mp_nobs=gather(m.mp_nobs),
+        mp_visible=gather(m.mp_visible),
+        mp_found=gather(m.mp_found),
+        obs_mat=m.obs_mat[:, perm],
+        kf_mp=kf_mp,
+    )
+    return m, jnp.sum(m.mp_valid.astype(jnp.int32))
 
 
 @jax.jit

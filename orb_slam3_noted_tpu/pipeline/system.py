@@ -66,6 +66,12 @@ class MonoSLAM:
         # host mirror of keyframe frame-ids (avoids device pulls on the loop
         # closer's recency exclusion; -1 = empty slot)
         self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
+        # recycled keyframe slots (reference SetBadFlag/EraseKeyFrame
+        # lifecycle): refilled from the kf_valid pulls at loop-detect
+        # boundaries, or on demand when the monotone allocator is exhausted
+        self.free_kf_slots: list[int] = []
+        self._refill_cooldown = 0
+        self.kf_inserted = 0        # total keyframe insertions (incl. recycled)
         self.state = NOT_INITIALIZED
         self.ref_feats = None       # first frame features (for init)
         self.ref_frame_id = None
@@ -110,13 +116,42 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def flush(self):
-        """Drain deferred work: pending loop detection + allocator sync."""
+        """Drain deferred loop-closing work (one bulk pull)."""
         if self._pending_loops:
             pendings, self._pending_loops = self._pending_loops, []
             if self.loop_closer.finish_detect_many(self, pendings):
                 self.state = OK
-        _ = self.n_mp
         return self
+
+    # ------------------------------------------------------------------
+    def _refill_free_slots(self, kf_valid: np.ndarray):
+        """Recompute the recycled-slot list from a fresh kf_valid pull."""
+        dead = np.flatnonzero(~np.asarray(kf_valid)[: self.n_kf])
+        self.free_kf_slots = [
+            int(s) for s in dead if s != self.last_kf_slot
+        ]
+
+    def _alloc_kf_slot(self):
+        """Next keyframe slot: fresh while capacity lasts, else recycled."""
+        if self.n_kf < self.cfg.max_keyframes:
+            slot = self.n_kf
+            self.n_kf += 1
+            return slot
+        if self.free_kf_slots:
+            return self.free_kf_slots.pop(0)
+        return None
+
+    def _can_insert_kf(self) -> bool:
+        if self.n_kf < self.cfg.max_keyframes or self.free_kf_slots:
+            return True
+        # at capacity with no known-free slot: refresh liveness at most
+        # every ~8 frames (keyframe culling frees slots device-side)
+        if self._refill_cooldown <= 0:
+            self._refill_cooldown = 8
+            self._refill_free_slots(jax.device_get(self.m.kf_valid))
+            return bool(self.free_kf_slots)
+        self._refill_cooldown -= 1
+        return False
 
     # ------------------------------------------------------------------
     def set_localization_mode(self, on: bool):
@@ -132,6 +167,8 @@ class MonoSLAM:
         self.n_mp = 0
         self._pending_loops = []
         self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
+        self.free_kf_slots = []
+        self._refill_cooldown = 0
         self.state = NOT_INITIALIZED
         self.ref_feats = None
         self.ref_frame_id = None
@@ -274,11 +311,18 @@ class MonoSLAM:
                     # ONE bulk pull for everything the host needs this
                     # dispatch — each separate np.asarray costs a full
                     # device-tunnel round trip (~30 ms measured)
-                    n_np, Rs_np, ts_np, refR, reft = jax.device_get((
+                    extra = (
+                        (self._n_mp_pending,)
+                        if self._n_mp_pending is not None else ()
+                    )
+                    pulled = jax.device_get((
                         n_inls, Rs, ts,
                         self.m.kf_Rcw[self.last_kf_slot],
                         self.m.kf_tcw[self.last_kf_slot],
-                    ))
+                    ) + extra)
+                    n_np, Rs_np, ts_np, refR, reft = pulled[:5]
+                    if extra:
+                        self.n_mp = int(pulled[5])  # piggybacked allocator sync
                     ref_now = (self.last_kf_slot, refR, reft)
                 offset = 0
                 cur_feats, cur_aux = feats_all, aux
@@ -296,11 +340,18 @@ class MonoSLAM:
                     Rs, ts, n_inls, mp_feats = self._batch_retrack(
                         rolled, aux_rolled, vel, cm
                     )
-                    n_np, Rs_np, ts_np, refR, reft = jax.device_get((
+                    extra = (
+                        (self._n_mp_pending,)
+                        if self._n_mp_pending is not None else ()
+                    )
+                    pulled = jax.device_get((
                         n_inls, Rs, ts,
                         self.m.kf_Rcw[self.last_kf_slot],
                         self.m.kf_tcw[self.last_kf_slot],
-                    ))
+                    ) + extra)
+                    n_np, Rs_np, ts_np, refR, reft = pulled[:5]
+                    if extra:
+                        self.n_mp = int(pulled[5])
                     ref_now = (self.last_kf_slot, refR, reft)
                 offset = pos
                 cur_feats, cur_aux = rolled, aux_rolled
@@ -328,7 +379,7 @@ class MonoSLAM:
                 need = (
                     ok
                     and not self.localization_only
-                    and self.n_kf < cfg.max_keyframes - 1
+                    and self._can_insert_kf()
                     and self.frames_since_kf >= cfg.kf_min_interval
                     and (
                         self.frames_since_kf >= cfg.kf_max_interval
@@ -401,7 +452,7 @@ class MonoSLAM:
             )
             and self.frames_since_kf >= cfg.kf_min_interval
             and not self.localization_only
-            and self.n_kf < cfg.max_keyframes - 1
+            and self._can_insert_kf()
         )
         if need_kf:
             self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
@@ -592,12 +643,21 @@ class MonoSLAM:
         host syncs only the new allocation pointer.
         """
         cfg = self.cfg
-        slot = self.n_kf
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return  # truly at capacity with no culled slot to recycle
+        self.kf_inserted += 1
         NF = cfg.n_features
         uvr_arr = uvr if uvr is not None else jnp.full((NF,), -1.0, jnp.float32)
         depth_arr = depth if depth is not None else jnp.full(
             (NF,), -1.0, jnp.float32
         )
+        # free-list half of the map-point lifecycle: compact culled slots
+        # away before the allocator runs out (last-known fill level; the
+        # pointer refreshes with each batch's bulk pull)
+        if self._n_mp > 0.85 * cfg.max_map_points:
+            self.m, n_mp_dev = MS.compact_map_points(self.m)
+            self._n_mp_pending = n_mp_dev
         with TIMER.stage("insert_keyframe"):
             self.m, n_mp = T.insert_keyframe_step(
                 self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
@@ -606,7 +666,6 @@ class MonoSLAM:
                 self.cam, cfg, n_neighbors=cfg.triangulate_neighbors,
                 bf=cfg.bf, has_depth=depth is not None,
             )
-            self.n_kf += 1
             # deferred sync: the host does NOT wait for the mapper dispatch
             self._n_mp_pending = n_mp
         self.kf_frame_ids[slot] = int(frame_id)

@@ -1,6 +1,7 @@
 """Map maintenance tests: duplicate fusion, point/keyframe culling."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from orb_slam3_noted_tpu.io.config import SlamConfig
@@ -133,3 +134,43 @@ class TestCulling:
         window_p = jnp.zeros(CFG.max_keyframes, bool).at[0].set(True)
         m3 = MS.cull_keyframes(m, window_p, protect)
         assert bool(m3.kf_valid[0])
+
+
+@pytest.mark.slow
+def test_kf_slot_recycling_past_capacity():
+    """A run that allocates past max_keyframes must keep inserting by
+    recycling culled slots (reference SetBadFlag/EraseKeyFrame lifecycle;
+    round-3 free-list).  Map-point compaction keeps the allocator alive."""
+    import numpy as np
+    from orb_slam3_noted_tpu.io.config import SlamConfig
+    from orb_slam3_noted_tpu.models.cameras import Camera, PINHOLE
+    from orb_slam3_noted_tpu.pipeline.system import MonoSLAM
+    from orb_slam3_noted_tpu.utils.synthetic import BoxRoom, orbit_trajectory
+
+    W, H = 320, 240
+    cam = Camera(PINHOLE, (260.0, 260.0, W / 2 - 0.5, H / 2 - 0.5))
+    cfg = SlamConfig(
+        camera=cam, width=W, height=H, n_features=500,
+        max_keyframes=10, max_map_points=3072,
+        local_window=3, kf_max_interval=2, kf_min_interval=1,
+        kf_tracked_ratio=0.999,  # aggressive insertion -> high redundancy
+        enable_loop_closing=True,
+    )
+    room = BoxRoom(seed=0)
+    n = 44
+    poses = orbit_trajectory(n, forward=0.004)  # slow: KFs become redundant
+    frames = [room.render(R, t, cam.params, W, H) for R, t in poses]
+    slam = MonoSLAM(cfg)
+    for i, f in enumerate(frames):
+        slam.process(f, i)
+    slam.flush()
+    ok = sum(1 for r in slam.trajectory if r.state == "OK")
+    assert slam.n_kf == cfg.max_keyframes, "allocator should exhaust"
+    assert slam.kf_inserted > cfg.max_keyframes, (
+        f"no recycling happened (inserted={slam.kf_inserted})"
+    )
+    # tiny 10-KF map + aggressive insertion: allow some wobble, but the
+    # system must still be tracking at the end (no permanent stall)
+    assert ok >= n - 12, f"tracking degraded: {ok}/{n}"
+    assert slam.trajectory[-1].state == "OK"
+    assert slam.n_mp <= cfg.max_map_points
