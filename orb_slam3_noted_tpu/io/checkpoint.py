@@ -103,7 +103,14 @@ def load_map(path: str, slam) -> None:
             )
     fields = {}
     for k in MapArrays._fields:
-        fields[k] = jnp.asarray(z[f"map_{k}"])
+        if f"map_{k}" in z:
+            fields[k] = jnp.asarray(z[f"map_{k}"])
+        elif k == "kf_xy_r":
+            # field added in round 3; older checkpoints carry no
+            # second-camera observations
+            fields[k] = jnp.full_like(jnp.asarray(z["map_kf_xy"]), -1.0)
+        else:
+            raise KeyError(f"checkpoint missing map field {k}")
     slam.m = MapArrays(**fields)
     host = json.loads(str(z["__host__"]))
     slam.n_kf = int(host["n_kf"])

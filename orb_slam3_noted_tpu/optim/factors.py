@@ -39,6 +39,11 @@ class ReprojObs(NamedTuple):
     inv_sigma2: jnp.ndarray  # (O,) information scale (1 / level sigma^2)
     is_stereo: jnp.ndarray  # (O,) bool
     valid: jnp.ndarray      # (O,) bool
+    # non-rectified second camera (fisheye stereo, reference EdgeMono
+    # to-body with Tlr, `include/G2oTypes.h:339-489`): a full 2D observation
+    # in the RIGHT camera joined to the left rows (4-row residual)
+    uv2: jnp.ndarray | None = None       # (O, 2) right-camera pixel
+    is_right: jnp.ndarray | None = None  # (O,) bool
 
 
 def reproj_residuals(
@@ -48,6 +53,9 @@ def reproj_residuals(
     points: jnp.ndarray,  # (M, 3)
     obs: ReprojObs,
     bf: float = 0.0,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,   # (3,3) left-cam -> right-cam rotation
+    trl: jnp.ndarray | None = None,   # (3,)
 ):
     """Residuals r (O, 3), Jacobians Jp (O, 3, 6), Jl (O, 3, 3), chi2 (O,).
 
@@ -74,7 +82,6 @@ def reproj_residuals(
     # stereo third row: u_r = u_hat - bf / z
     ur_hat = uv_hat[:, 0] - bf / z_safe
     r3 = jnp.where(obs.is_stereo, obs.uv_r - ur_hat, 0.0)
-    r = jnp.concatenate([r2, r3[:, None]], axis=-1)  # (O, 3)
 
     # d(x_c)/d(xi) = [I | -hat(x_c)]
     O = xc.shape[0]
@@ -86,7 +93,36 @@ def reproj_residuals(
         [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z_safe * z_safe)], axis=-1
     )
     row3 = jnp.where(obs.is_stereo[:, None], row3, 0.0)
-    Jfull = jnp.concatenate([Jproj, row3[:, None, :]], axis=1)  # (O, 3, 3)
+
+    two_cam = (
+        obs.is_right is not None and cam2 is not None and Rrl is not None
+    )
+    if two_cam:
+        # right-camera rows: x_r = Rrl x_c + trl, residual uv2 - proj2(x_r)
+        # (reference two-camera EdgeMono with Tlr; joint 4-row residual so
+        # both edges of a pair share one observation row)
+        xr = jnp.einsum("ij,oj->oi", Rrl, xc) + trl
+        params2 = cam2.params_array(xc.dtype)
+        if cam2.kind == cam_mod.PINHOLE:
+            uv2_hat = cam_mod.pinhole_project(params2, xr)
+            Jproj2 = cam_mod.pinhole_project_jac(params2, xr)
+        else:
+            uv2_hat = cam_mod.kb8_project(params2, xr)
+            Jproj2 = cam_mod.kb8_project_jac(params2, xr)
+        use_r = obs.is_right[:, None]
+        r_right = jnp.where(use_r, obs.uv2 - uv2_hat, 0.0)       # (O, 2)
+        r = jnp.concatenate([r2, r3[:, None], r_right], axis=-1)  # (O, 5)
+        # chain: d(uv2)/d(x_c) = Jproj2 @ Rrl
+        Jright = jnp.einsum("oab,bc->oac", Jproj2, Rrl)
+        Jright = jnp.where(use_r[:, :, None], Jright, 0.0)
+        Jfull = jnp.concatenate(
+            [Jproj, row3[:, None, :], Jright], axis=1
+        )  # (O, 5, 3)
+        ok_r = obs.is_right & (xr[:, 2] <= 1e-4)  # right point behind cam
+    else:
+        r = jnp.concatenate([r2, r3[:, None]], axis=-1)  # (O, 3)
+        Jfull = jnp.concatenate([Jproj, row3[:, None, :]], axis=1)  # (O, 3, 3)
+        ok_r = None
 
     # r = obs - h(x): dr/dx = -J
     Jp = -jnp.einsum("oab,obc->oac", Jfull, dxc_dxi)  # (O, 3, 6)
@@ -98,6 +134,8 @@ def reproj_residuals(
     ok = obs.valid & (jnp.sum(xc * xc, axis=-1) > 1e-10)
     if cam.kind == cam_mod.PINHOLE:
         ok = ok & (z > 1e-4)
+    if ok_r is not None:
+        ok = ok & ~ok_r
     # Sanitize: padding rows can produce inf/nan Jacobians (KB8 at r ~ 0
     # overflows f32), and NaN * 0-weight = NaN would poison the segment-sum
     # normal equations downstream.  Zero masked rows and clamp magnitudes

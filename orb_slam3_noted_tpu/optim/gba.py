@@ -36,6 +36,7 @@ from orb_slam3_noted_tpu.optim.ba import BAProblem, BAResult
 from orb_slam3_noted_tpu.optim.robust import (
     CHI2_MONO,
     CHI2_STEREO,
+    chi2_threshold,
     huber_cost,
     huber_weight,
 )
@@ -43,7 +44,8 @@ from orb_slam3_noted_tpu.optim.robust import (
 _HP = jax.lax.Precision.HIGHEST
 
 
-def _eval_blocks(cam, Rcw, tcw, points, obs, prob, active, use_huber, bf):
+def _eval_blocks(cam, Rcw, tcw, points, obs, prob, active, use_huber, bf,
+                 cam2=None, Rrl=None, trl=None):
     """Residual blocks for one linearization point.
 
     Returns (W (O,6,3), Hpp (K,6,6), gp (K,6), Hll (M,3,3), gl (M,3), cost).
@@ -53,9 +55,10 @@ def _eval_blocks(cam, Rcw, tcw, points, obs, prob, active, use_huber, bf):
     M = points.shape[0]
     dtype = tcw.dtype
     r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
-        cam, Rcw, tcw, points, obs._replace(valid=active), bf=bf
+        cam, Rcw, tcw, points, obs._replace(valid=active), bf=bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
-    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta2 = chi2_threshold(obs)
     w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
     w = jnp.where(ok, obs.inv_sigma2 * w_rob, 0.0)
     cost = jnp.sum(
@@ -136,12 +139,13 @@ def _pcg(matvec, Pinv, b, n_iters):
 
 
 def _gba_lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber,
-                 lam, bf, cg_iters, psum=None):
+                 lam, bf, cg_iters, psum=None, cam2=None, Rrl=None, trl=None):
     K = Rcw.shape[0]
     M = points.shape[0]
     dtype = tcw.dtype
     W, Hpp, gp, Hll, gl, cost_old = _eval_blocks(
-        cam, Rcw, tcw, points, obs, prob, active, use_huber, bf
+        cam, Rcw, tcw, points, obs, prob, active, use_huber, bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     if psum is not None:
         Hpp, gp, Hll, gl, cost_old = (
@@ -187,7 +191,8 @@ def _gba_lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber,
     R_new = so3.normalize(R_new)
     p_new = points + dl
     _, _, _, _, _, cost_new = _eval_blocks(
-        cam, R_new, t_new, p_new, obs, prob, active, use_huber, bf
+        cam, R_new, t_new, p_new, obs, prob, active, use_huber, bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     if psum is not None:
         cost_new = psum(cost_new)
@@ -211,7 +216,8 @@ def _schur_rhs_coupling(W, Cinv, gl, obs, K, psum=None):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "bf", "n_iters", "n_iters_final", "cg_iters"),
+    static_argnames=("cam", "bf", "n_iters", "n_iters_final", "cg_iters",
+                     "cam2"),
 )
 def global_bundle_adjust(
     cam: cam_mod.Camera,
@@ -220,6 +226,9 @@ def global_bundle_adjust(
     n_iters: int = 8,
     n_iters_final: int = 5,
     cg_iters: int = 64,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ) -> BAResult:
     """Full-map LM with the two-phase robust schedule of the local engine.
 
@@ -235,7 +244,7 @@ def global_bundle_adjust(
             Rcw, tcw, points, lam = st
             Rcw, tcw, points, lam, _ = _gba_lm_step(
                 cam, Rcw, tcw, points, obs, prob, active, use_huber,
-                lam, bf, cg_iters,
+                lam, bf, cg_iters, cam2=cam2, Rrl=Rrl, trl=trl,
             )
             return (Rcw, tcw, points, lam)
 
@@ -248,16 +257,16 @@ def global_bundle_adjust(
         Rcw, tcw, points, obs.valid, jnp.asarray(True), n_iters
     )
     r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
-        cam, Rcw, tcw, points, obs, bf=bf
+        cam, Rcw, tcw, points, obs, bf=bf, cam2=cam2, Rrl=Rrl, trl=trl,
     )
-    th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    th = chi2_threshold(obs)
     active = obs.valid & ok & (chi2 <= th)
     Rcw, tcw, points = phase(
         Rcw, tcw, points, active, jnp.asarray(False), n_iters_final
     )
 
     r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
-        cam, Rcw, tcw, points, obs, bf=bf
+        cam, Rcw, tcw, points, obs, bf=bf, cam2=cam2, Rrl=Rrl, trl=trl,
     )
     inlier = obs.valid & ok & (chi2 <= th)
     cost = jnp.sum(jnp.where(inlier, chi2, 0.0))
@@ -374,6 +383,12 @@ def full_map_problem(m, cfg, sample_stride: int = 1):
     valid = valid & m.mp_valid[mp_idx]
     sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
     uvr = m.kf_uvr[k_idx, f_idx]
+    if cfg.camera2 is not None:
+        uv2 = m.kf_xy_r[k_idx, f_idx]
+        is_right = uv2[:, 0] >= 0
+    else:
+        uv2 = None
+        is_right = None
     obs = factors.ReprojObs(
         pose_idx=k_idx,
         point_idx=mp_idx,
@@ -382,6 +397,8 @@ def full_map_problem(m, cfg, sample_stride: int = 1):
         inv_sigma2=1.0 / sigma2[m.kf_level[k_idx, f_idx]],
         is_stereo=uvr >= 0,
         valid=valid,
+        uv2=uv2,
+        is_right=is_right,
     )
     # gauge: earliest valid keyframe by frame id
     fids = jnp.where(m.kf_valid, m.kf_frame_id, jnp.int32(1 << 30))
@@ -412,11 +429,14 @@ def run_global_ba(m, cam, cfg, bf: float = 0.0, n_iters: int = 8,
     ``apply_ba_result``'s masked delta scatter.
     """
     from orb_slam3_noted_tpu.pipeline import map_state as MS
+    from orb_slam3_noted_tpu.pipeline.tracking import _second_camera
 
     prob = full_map_problem(m, cfg)
+    cam2, Rrl, trl = _second_camera(cfg)
     res = global_bundle_adjust(
         cam, prob, bf=bf, n_iters=n_iters,
         n_iters_final=n_iters_final, cg_iters=cg_iters,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     KF = m.kf_Rcw.shape[0]
     MP = m.mp_pos.shape[0]

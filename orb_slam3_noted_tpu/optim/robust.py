@@ -11,6 +11,17 @@ import jax.numpy as jnp
 
 CHI2_MONO = 5.991    # 95% quantile, chi2 with 2 dof
 CHI2_STEREO = 7.815  # 95% quantile, chi2 with 3 dof
+CHI2_TWOCAM = 9.488  # 95% quantile, chi2 with 4 dof (left+right fisheye pair)
+
+
+def chi2_threshold(obs):
+    """Per-observation chi2 gate: mono 2-dof, rectified-stereo 3-dof,
+    two-camera (fisheye left+right joint) 4-dof."""
+    th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    ir = getattr(obs, "is_right", None)
+    if ir is not None:
+        th = jnp.where(ir, CHI2_TWOCAM, th)
+    return th
 
 
 def huber_weight(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:

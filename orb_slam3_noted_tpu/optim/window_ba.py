@@ -41,6 +41,7 @@ from orb_slam3_noted_tpu.optim import factors
 from orb_slam3_noted_tpu.optim.robust import (
     CHI2_MONO,
     CHI2_STEREO,
+    chi2_threshold,
     huber_cost,
     huber_weight,
 )
@@ -64,6 +65,8 @@ class WindowObs(NamedTuple):
     inv_sigma2: jnp.ndarray  # (O,)
     is_stereo: jnp.ndarray   # (O,) bool
     valid: jnp.ndarray       # (O,) bool
+    uv2: jnp.ndarray | None = None       # (O, 2) right-camera obs (fisheye)
+    is_right: jnp.ndarray | None = None  # (O,) bool
 
 
 class WindowBAResult(NamedTuple):
@@ -83,14 +86,18 @@ def _reproj_obs(obs: WindowObs, active) -> factors.ReprojObs:
         inv_sigma2=obs.inv_sigma2,
         is_stereo=obs.is_stereo,
         valid=active,
+        uv2=obs.uv2,
+        is_right=obs.is_right,
     )
 
 
-def _evaluate(cam, Rcw, tcw, points, obs, active, use_huber, bf):
+def _evaluate(cam, Rcw, tcw, points, obs, active, use_huber, bf,
+              cam2=None, Rrl=None, trl=None):
     r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
-        cam, Rcw, tcw, points, _reproj_obs(obs, active), bf=bf
+        cam, Rcw, tcw, points, _reproj_obs(obs, active), bf=bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
-    delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta2 = chi2_threshold(obs)
     w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
     w = jnp.where(ok, obs.inv_sigma2 * w_rob, 0.0)
     cost = jnp.sum(
@@ -100,7 +107,8 @@ def _evaluate(cam, Rcw, tcw, points, obs, active, use_huber, bf):
 
 
 def _lm_step(cam, Rcw, tcw, points, obs, kf_slots, pose_fixed_w, point_fixed,
-             active, use_huber, lam, bf, KW, lin, cost_old):
+             active, use_huber, lam, bf, KW, lin, cost_old,
+             cam2=None, Rrl=None, trl=None):
     """One cost-checked LM step with the dense reduced camera system.
 
     ``lin`` = (r, Jp, Jl, w) is the linearization at the CURRENT state,
@@ -186,7 +194,8 @@ def _lm_step(cam, Rcw, tcw, points, obs, kf_slots, pose_fixed_w, point_fixed,
     t_new = tcw.at[kf_slots].set(tw_new)
     p_new = points + dl
     r2, Jp2, Jl2, _, w2, _, cost_new = _evaluate(
-        cam, R_new, t_new, p_new, obs, active, use_huber, bf
+        cam, R_new, t_new, p_new, obs, active, use_huber, bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     better = cost_new < cost_old
     sel = lambda a, b: jnp.where(better, a, b)
@@ -200,7 +209,7 @@ def _lm_step(cam, Rcw, tcw, points, obs, kf_slots, pose_fixed_w, point_fixed,
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "bf", "n_iters", "n_iters_final"),
+    static_argnames=("cam", "bf", "n_iters", "n_iters_final", "cam2"),
 )
 def window_bundle_adjust(
     cam: cam_mod.Camera,
@@ -214,6 +223,9 @@ def window_bundle_adjust(
     bf: float = 0.0,
     n_iters: int = 5,
     n_iters_final: int = 5,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ) -> WindowBAResult:
     """Two-phase LM (Huber -> chi2 reclassify -> plain LS), dense Schur.
 
@@ -227,7 +239,8 @@ def window_bundle_adjust(
         if n <= 0:
             return Rcw, tcw, pts
         r0, Jp0, Jl0, _, w0, _, cost0 = _evaluate(
-            cam, Rcw, tcw, pts, obs, active, use_huber, bf
+            cam, Rcw, tcw, pts, obs, active, use_huber, bf,
+            cam2=cam2, Rrl=Rrl, trl=trl,
         )
 
         def body(_, st):
@@ -235,6 +248,7 @@ def window_bundle_adjust(
             Rcw, tcw, pts, lam, lin, cost = _lm_step(
                 cam, Rcw, tcw, pts, obs, kf_slots, pose_fixed_w, point_fixed,
                 active, use_huber, lam, bf, KW, lin, cost,
+                cam2=cam2, Rrl=Rrl, trl=trl,
             )
             return (Rcw, tcw, pts, lam, lin, cost)
 
@@ -247,14 +261,16 @@ def window_bundle_adjust(
 
     Rcw, tcw, pts = phase(Rcw, tcw, pts, obs.valid, jnp.asarray(True), n_iters)
     _, _, _, chi2, _, ok, _ = _evaluate(
-        cam, Rcw, tcw, pts, obs, obs.valid, jnp.asarray(True), bf
+        cam, Rcw, tcw, pts, obs, obs.valid, jnp.asarray(True), bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
-    th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+    th = chi2_threshold(obs)
     active = obs.valid & ok & (chi2 <= th)
     Rcw, tcw, pts = phase(Rcw, tcw, pts, active, jnp.asarray(False), n_iters_final)
 
     _, _, _, chi2, _, ok, cost = _evaluate(
-        cam, Rcw, tcw, pts, obs, obs.valid, jnp.asarray(False), bf
+        cam, Rcw, tcw, pts, obs, obs.valid, jnp.asarray(False), bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     inlier = obs.valid & ok & (chi2 <= th)
     return WindowBAResult(Rcw=Rcw, tcw=tcw, points=pts, inlier=inlier, cost=cost)

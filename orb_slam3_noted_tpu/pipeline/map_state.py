@@ -39,6 +39,9 @@ class MapArrays(NamedTuple):
     kf_feat_valid: jnp.ndarray  # (KF, NF) bool
     kf_mp: jnp.ndarray         # (KF, NF) int32 map-point slot or -1
     kf_uvr: jnp.ndarray        # (KF, NF) float32 stereo right-u (<0 if mono)
+    # non-rectified second-camera observation (fisheye stereo): matched
+    # right-camera pixel per left feature, (-1,-1) = none
+    kf_xy_r: jnp.ndarray       # (KF, NF, 2) float32
 
     # map points
     mp_pos: jnp.ndarray        # (MP, 3)
@@ -70,6 +73,7 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapArrays:
         kf_feat_valid=jnp.zeros((KF, NF), bool),
         kf_mp=jnp.full((KF, NF), -1, jnp.int32),
         kf_uvr=jnp.full((KF, NF), -1.0, dtype),
+        kf_xy_r=jnp.full((KF, NF, 2), -1.0, dtype),
         mp_pos=jnp.zeros((MP, 3), dtype),
         mp_valid=jnp.zeros(MP, bool),
         mp_desc=jnp.zeros((MP, 8), jnp.uint32),
@@ -98,10 +102,14 @@ def add_keyframe(
     feat_valid: jnp.ndarray,
     mp_bind: jnp.ndarray,     # (NF,) int32 map-point slot per feature or -1
     uvr: jnp.ndarray,
+    xy_r: jnp.ndarray | None = None,   # (NF, 2) right-camera obs or None
 ) -> MapArrays:
     """Insert/overwrite a keyframe and bind its features to map points."""
     MP = m.mp_pos.shape[0]
+    if xy_r is None:
+        xy_r = jnp.full_like(xy, -1.0)
     m = m._replace(
+        kf_xy_r=m.kf_xy_r.at[slot].set(xy_r),
         kf_Rcw=m.kf_Rcw.at[slot].set(Rcw),
         kf_tcw=m.kf_tcw.at[slot].set(tcw),
         kf_valid=m.kf_valid.at[slot].set(True),

@@ -479,7 +479,7 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def _after_track(self, feats, frame_id, Rp, tp, Rcw, tcw, n_inl,
-                     mp_of_feat, uvr=None, depth=None):
+                     mp_of_feat, uvr=None, depth=None, xy_r=None):
         cfg = self.cfg
         if n_inl < cfg.min_tracked_points:
             # relocalization attempt (reference Tracking::Relocalization)
@@ -511,7 +511,7 @@ class MonoSLAM:
             tc, ntc = int(tc), int(ntc)
         if self._need_new_kf(n_inl, tracked_close=tc, nontracked_close=ntc):
             self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
-                                  uvr=uvr, depth=depth)
+                                  uvr=uvr, depth=depth, xy_r=xy_r)
 
     # ------------------------------------------------------------------
     def _record(self, frame_id, Rcw, tcw, n_inl, ref_pose=None):
@@ -626,7 +626,7 @@ class MonoSLAM:
         self._record(frame_id, R21_np, t21_np * scale, self.n_mp)
 
     # ------------------------------------------------------------------
-    def _track(self, feats, frame_id, uvr=None, depth=None):
+    def _track(self, feats, frame_id, uvr=None, depth=None, xy_r=None):
         cfg = self.cfg
         # pose prediction: constant-velocity motion model (src/Tracking.cc
         # mVelocity), else last pose
@@ -640,14 +640,14 @@ class MonoSLAM:
         )
         Rcw, tcw, n_inl, mp_of_feat, vis, found = T.track_frame(
             self.m, feats, Rp, tp, mp_mask, self.cam, cfg,
-            feat_uvr=uvr, bf=cfg.bf,
+            feat_uvr=uvr, bf=cfg.bf, feat_uv2=xy_r,
         )
         self.m = self.m._replace(
             mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
             mp_found=self.m.mp_found + found.astype(jnp.int32),
         )
         self._after_track(feats, frame_id, Rp, tp, Rcw, tcw, int(n_inl),
-                          mp_of_feat, uvr=uvr, depth=depth)
+                          mp_of_feat, uvr=uvr, depth=depth, xy_r=xy_r)
 
     # ------------------------------------------------------------------
     def _try_relocalize(self, feats, frame_id):
@@ -696,7 +696,7 @@ class MonoSLAM:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
-                         uvr=None, depth=None):
+                         uvr=None, depth=None, xy_r=None):
         """One fused device dispatch for the whole mapper pass.
 
         ``T.insert_keyframe_step`` runs add-KF -> depth points ->
@@ -725,7 +725,7 @@ class MonoSLAM:
                 feats, mp_of_feat, uvr_arr, depth_arr,
                 self._n_mp_for_device(),
                 self.cam, cfg, n_neighbors=cfg.triangulate_neighbors,
-                bf=cfg.bf, has_depth=depth is not None,
+                bf=cfg.bf, has_depth=depth is not None, xy_r=xy_r,
             )
             # deferred sync: the host does NOT wait for the mapper dispatch
             self._n_mp_pending = n_mp
@@ -922,7 +922,7 @@ class StereoSLAM(MonoSLAM):
             self._track(feats, frame_id, uvr=uvr, depth=depth)
         return self.trajectory[-1] if self.trajectory else None
 
-    def _stereo_initialize(self, feats, frame_id, uvr, depth):
+    def _stereo_initialize(self, feats, frame_id, uvr, depth, xy_r=None):
         cfg = self.cfg
         n_depth = int(jnp.sum((depth > 0) & feats.valid))
         if n_depth < self.MIN_INIT_POINTS:
@@ -933,7 +933,7 @@ class StereoSLAM(MonoSLAM):
             self.m, jnp.int32(0), jnp.eye(3, dtype=jnp.float32),
             jnp.zeros(3, jnp.float32), jnp.int32(frame_id),
             feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
-            jnp.full((cfg.n_features,), -1, jnp.int32), uvr,
+            jnp.full((cfg.n_features,), -1, jnp.int32), uvr, xy_r=xy_r,
         )
         self.n_kf = 1
         self.kf_frame_ids[0] = int(frame_id)
@@ -1015,20 +1015,21 @@ class FisheyeStereoSLAM(StereoSLAM):
             level_sigma2=jnp.asarray(cfg.level_sigma2, jnp.float32),
         )
         depth = jnp.where(sm.valid, sm.depth, -1.0)
-        # No rectified right-u exists for KB8; instead the triangulated depth
-        # becomes a virtual-right observation u_r = u - bf/z (the reference's
-        # RGB-D construction, `include/Frame.h:117`), which adds the depth
-        # residual row to pose opt / BA and pins the metric scale that pure
-        # mono residuals leave free.
-        uvr = jnp.where(
-            sm.valid & (depth > 0.05),
-            feats.xy[:, 0] - cfg.bf / jnp.maximum(depth, 1e-6), -1.0,
+        # True second-camera observations (round-3): the matched RIGHT
+        # feature's pixel becomes a KB8 reprojection residual carrying Tlr
+        # through pose optimization and BA (reference two-camera EdgeMono,
+        # `include/G2oTypes.h:339-489`, `src/Frame.cc:1116`) — replacing the
+        # round-2 virtual-disparity row, which mismodels wide-FoV geometry.
+        ok2 = sm.valid & (sm.idx_r >= 0)
+        uv2 = jnp.where(
+            ok2[:, None], feats_r.xy[jnp.clip(sm.idx_r, 0)], -1.0
         )
+        uvr = jnp.full((cfg.n_features,), -1.0, jnp.float32)
 
         if self.state == NOT_INITIALIZED:
-            self._stereo_initialize(feats, frame_id, uvr, depth)
+            self._stereo_initialize(feats, frame_id, uvr, depth, xy_r=uv2)
         else:
-            self._track(feats, frame_id, uvr=uvr, depth=depth)
+            self._track(feats, frame_id, uvr=uvr, depth=depth, xy_r=uv2)
         return self.trajectory[-1] if self.trajectory else None
 
 

@@ -42,6 +42,26 @@ from orb_slam3_noted_tpu.pipeline import map_state as MS
 _HP = jax.lax.Precision.HIGHEST
 
 
+def _second_camera(cfg: SlamConfig):
+    """(cam2, Rrl, trl) for two-camera residuals, or (None, None, None).
+
+    Converts the config's Tlr (right camera IN the left frame) to the
+    left->right transform the factor needs: x_r = Rlr^T (x_l - tlr).
+    """
+    if cfg.camera2 is None:
+        return None, None, None
+    import numpy as _np
+
+    Rlr = (
+        _np.asarray(cfg.tlr_r, _np.float32).reshape(3, 3)
+        if cfg.tlr_r else _np.eye(3, dtype=_np.float32)
+    )
+    tlr = _np.asarray(cfg.tlr_t, _np.float32)
+    Rrl = Rlr.T
+    trl = -Rlr.T @ tlr
+    return cfg.camera2, jnp.asarray(Rrl), jnp.asarray(trl)
+
+
 # ---------------------------------------------------------------------------
 # visibility + tracking
 # ---------------------------------------------------------------------------
@@ -94,6 +114,7 @@ def match_local_map(
     feat_uvr: jnp.ndarray | None = None,
     radius_scale: float | jnp.ndarray = 1.0,
     max_dist: int = M.TH_HIGH,
+    feat_uv2: jnp.ndarray | None = None,
 ):
     """Project local map points into the frame and associate features.
 
@@ -101,6 +122,9 @@ def match_local_map(
     ``SearchLocalPoints`` + ``ORBmatcher::SearchByProjection``
     `/root/reference/src/ORBmatcher.cc:44`).  Returns (obs: PoseObs indexed
     per map point, f_idx (MP,) matched feature per map point, vis (MP,)).
+
+    ``feat_uv2``: optional (NF, 2) right-camera pixel per feature (fisheye
+    stereo) — matched features with one become two-camera observations.
     """
     uv_pred, level_pred, visible = project_map_points(
         m, Rcw_pred, tcw_pred, cam, cfg.width, cfg.height,
@@ -127,12 +151,20 @@ def match_local_map(
     else:
         uvr = jnp.full_like(uv_pred[:, 0], -1.0)
         is_st = jnp.zeros_like(matched)
+    if feat_uv2 is not None:
+        uv2 = feat_uv2[f_idx]
+        is_right = matched & (uv2[:, 0] >= 0)
+    else:
+        uv2 = None
+        is_right = None
     obs = PoseObs(
         uv=feats.xy[f_idx],
         uv_r=uvr,
         inv_sigma2=1.0 / sigma2[feats.level[f_idx]],
         is_stereo=is_st,
         valid=matched,
+        uv2=uv2,
+        is_right=is_right,
     )
     return obs, f_idx, vis
 
@@ -148,6 +180,7 @@ def track_frame(
     cfg: SlamConfig,
     feat_uvr: jnp.ndarray | None = None,
     bf: float = 0.0,
+    feat_uv2: jnp.ndarray | None = None,
 ):
     """Match local map points into the frame and optimize the pose.
 
@@ -162,6 +195,8 @@ def track_frame(
     NF_cap = feats.xy.shape[0]
     NC = min(MP, max(2048, 1 << (NF_cap - 1).bit_length()))
 
+    cam2, Rrl, trl = _second_camera(cfg)
+
     def _optimize_compact(obs, R0, t0):
         """Pose opt on a compacted observation table.
 
@@ -175,14 +210,17 @@ def track_frame(
             uv=obs.uv[sel], uv_r=obs.uv_r[sel],
             inv_sigma2=obs.inv_sigma2[sel], is_stereo=obs.is_stereo[sel],
             valid=obs.valid[sel],
+            uv2=None if obs.uv2 is None else obs.uv2[sel],
+            is_right=None if obs.is_right is None else obs.is_right[sel],
         )
-        res = pose_optimization(cam, R0, t0, m.mp_pos[sel], obs_c, bf=bf)
+        res = pose_optimization(cam, R0, t0, m.mp_pos[sel], obs_c, bf=bf,
+                                cam2=cam2, Rrl=Rrl, trl=trl)
         inl_full = jnp.zeros(MP, bool).at[sel].max(res.inliers & obs_c.valid)
         return res._replace(inliers=inl_full)
 
     obs, f_idx, vis = match_local_map(
         m, feats, Rcw_pred, tcw_pred, local_mp_mask, cam, cfg,
-        feat_uvr=feat_uvr,
+        feat_uvr=feat_uvr, feat_uv2=feat_uv2,
     )
     res = _optimize_compact(obs, Rcw_pred, tcw_pred)
 
@@ -198,7 +236,7 @@ def track_frame(
         ts = jnp.where(good_seed, res0.tcw, tcw_pred)
         obs2, f_idx2, vis2 = match_local_map(
             m, feats, Rs, ts, local_mp_mask, cam, cfg,
-            feat_uvr=feat_uvr, radius_scale=3.0,
+            feat_uvr=feat_uvr, radius_scale=3.0, feat_uv2=feat_uv2,
         )
         res2 = _optimize_compact(obs2, Rs, ts)
         use2 = res2.n_inliers > res0.n_inliers
@@ -741,6 +779,7 @@ def insert_keyframe_step(
     n_neighbors: int = 2,
     bf: float = 0.0,
     has_depth: bool = False,
+    xy_r: jnp.ndarray | None = None,   # (NF, 2) right-camera obs (fisheye)
 ):
     """ONE device dispatch for the whole synchronous mapper pass.
 
@@ -754,7 +793,7 @@ def insert_keyframe_step(
     m = MS.add_keyframe(
         m, slot, Rcw, tcw, frame_id,
         feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
-        mp_of_feat, uvr,
+        mp_of_feat, uvr, xy_r=xy_r,
     )
     if has_depth:
         out = stereo_points_from_depth(m, slot, depth, cam, cfg, bf=bf)
@@ -881,6 +920,13 @@ def local_ba(
     pose_idx = jnp.concatenate([kf_g, a_k])
     feat_idx = jnp.concatenate([f_idx, a_f])
     uvr = m.kf_uvr[pose_idx, feat_idx]
+    cam2, Rrl, trl = _second_camera(cfg)
+    if cam2 is not None:
+        uv2 = m.kf_xy_r[pose_idx, feat_idx]
+        is_right = uv2[:, 0] >= 0
+    else:
+        uv2 = None
+        is_right = None
     obs = WindowObs(
         pose_idx=pose_idx,
         wpose_idx=jnp.concatenate([k_local, jnp.full(a_k.shape, K, jnp.int32)]),
@@ -890,12 +936,15 @@ def local_ba(
         inv_sigma2=1.0 / sigma2[m.kf_level[pose_idx, feat_idx]],
         is_stereo=uvr >= 0,
         valid=jnp.concatenate([valid, a_valid]),
+        uv2=uv2,
+        is_right=is_right,
     )
     Rcw_pad = jnp.concatenate([m.kf_Rcw, jnp.eye(3, dtype=m.kf_Rcw.dtype)[None]])
     tcw_pad = jnp.concatenate([m.kf_tcw, jnp.zeros((1, 3), m.kf_tcw.dtype)])
     res = window_bundle_adjust(
         cam, Rcw_pad, tcw_pad, m.mp_pos, obs, kf_slots_w, pose_fixed_w,
         ~seen, bf=bf, n_iters=cfg.ba_iters, n_iters_final=cfg.ba_iters_final,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     m = m._replace(
         kf_Rcw=res.Rcw[:KF], kf_tcw=res.tcw[:KF], mp_pos=res.points
