@@ -360,6 +360,34 @@ def distributed_global_ba(
     )
 
 
+def run_global_ba_mesh(m, cam, cfg, mesh, bf: float = 0.0,
+                       n_iters: int = 6, n_iters_final: int = 4,
+                       cg_iters: int = 32):
+    """Distributed GBA over the whole map + write-back (multi-device).
+
+    The mesh-sharded twin of :func:`run_global_ba`, called by the loop
+    closer when more than one device is attached (BASELINE.json north star:
+    distributed GBA over the full Atlas instead of the reference's
+    "skip GBA when large" escape hatch).
+    """
+    from orb_slam3_noted_tpu.pipeline import map_state as MS
+
+    prob = full_map_problem(m, cfg)
+    Rf, tf, pf, cost = distributed_global_ba(
+        cam, mesh, prob, bf=bf, n_iters=n_iters,
+        n_iters_final=n_iters_final, cg_iters=cg_iters,
+    )
+    KF = m.kf_Rcw.shape[0]
+    MP = m.mp_pos.shape[0]
+    m = MS.apply_ba_result(
+        m,
+        jnp.arange(KF, dtype=jnp.int32), m.kf_valid,
+        Rf, tf,
+        jnp.arange(MP, dtype=jnp.int32), ~prob.point_fixed, pf,
+    )
+    return m, cost
+
+
 def full_map_problem(m, cfg, sample_stride: int = 1):
     """Build a BAProblem over every valid keyframe/point binding in the map.
 

@@ -9,6 +9,9 @@ collectives), and the small pose system is solved replicated.
 
 from orb_slam3_noted_tpu.parallel.dist_ba import (  # noqa: F401
     make_mesh,
-    distributed_lm_step,
+    pad_obs_for_mesh,
     distributed_bundle_adjust,
+)
+from orb_slam3_noted_tpu.optim.gba import (  # noqa: F401
+    distributed_global_ba,
 )

@@ -427,8 +427,28 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
         self.seg_preints = []
         self._on_inertial_keyframe(1, t)
 
+    def _need_new_kf(self, n_inl, tracked_close=None, nontracked_close=None):
+        """Inertial sensors force a keyframe every 0.5 s regardless of the
+        visual conditions (reference `src/Tracking.cc:2948` — the
+        preintegration chain must stay short for the IMU factors)."""
+        if MonoSLAM._need_new_kf(
+            self, n_inl, tracked_close=tracked_close,
+            nontracked_close=nontracked_close,
+        ):
+            return True
+        t = getattr(self, "_cur_time", None)
+        if (
+            t is not None and self.kf_times
+            and not self.localization_only
+            and n_inl > 15
+            and self._can_insert_kf()
+            and t - self.kf_times[-1] >= 0.5
+        ):
+            return True
+        return False
+
     def _insert_keyframe(self, feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
-                         uvr=None, depth=None):
+                         uvr=None, depth=None, xy_r=None):
         t = getattr(self, "_cur_time", None)
         if t is None:
             t = self.last_t if self.last_t is not None else 0.0

@@ -378,12 +378,25 @@ class LoopCloser:
         # matrix-free Schur/PCG engine runs at full-map scale, so no
         # "<200 KFs" escape hatch is needed
         if self.enable_gba and getattr(slam, "cfg", None) is not None:
-            from orb_slam3_noted_tpu.optim.gba import run_global_ba
-
-            slam.m, _ = run_global_ba(
-                slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
-                n_iters=6, n_iters_final=4,
+            from orb_slam3_noted_tpu.optim.gba import (
+                run_global_ba, run_global_ba_mesh,
             )
+
+            if jax.device_count() > 1:
+                # mesh-sharded GBA over ICI when a multi-device slice is
+                # attached (BASELINE.json north star); single chip uses the
+                # one-dispatch matrix-free engine
+                from orb_slam3_noted_tpu.parallel.dist_ba import make_mesh
+
+                slam.m, _ = run_global_ba_mesh(
+                    slam.m, slam.cam, slam.cfg, make_mesh(),
+                    bf=slam.cfg.bf, n_iters=6, n_iters_final=4,
+                )
+            else:
+                slam.m, _ = run_global_ba(
+                    slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
+                    n_iters=6, n_iters_final=4,
+                )
         # tracking state continues from the corrected pose of the current KF
         slam.last_Rcw = slam.m.kf_Rcw[slot]
         slam.last_tcw = slam.m.kf_tcw[slot]

@@ -387,26 +387,34 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
         well_observed = nobs[mp_idx] >= 4  # point survives without this KF
         n_bound = jnp.sum(bound, axis=1)
         n_red = jnp.sum(bound & well_observed, axis=1)
+        ratio = n_red / jnp.maximum(n_bound, 1)
         return (
             m.kf_valid
             & window_mask
             & ~protect
             & (n_bound > 20)
             & (n_red >= 0.9 * n_bound)
-        )
+        ), ratio
 
     # Two-pass joint accounting: first find all individually redundant KFs,
     # then re-check against the JOINT observation loss (two culled KFs may
     # share points; the reference's sequential loop can never over-cull, and
-    # neither can this recheck).  Culls every KF that survives the recheck —
-    # the reference also removes all redundant KFs per mapper pass
-    # (`src/LocalMapping.cc:982`), not one.
-    cand = redundancy(m.mp_nobs)
+    # neither can this recheck).
+    cand, ratio = redundancy(m.mp_nobs)
     dec = jax.ops.segment_sum(
         (bound & cand[:, None]).reshape(-1).astype(jnp.int32),
         jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,
     )
-    cull = cand & redundancy(m.mp_nobs - dec)
+    cull_joint, _ = redundancy(m.mp_nobs - dec)
+    cull = cand & cull_joint
+    # Sequential fallback: when MANY keyframes are redundant over the SAME
+    # points, the joint subtraction can reject every candidate at once
+    # (each loses >1 observer) — a deadlock the reference's one-at-a-time
+    # loop never hits.  Cull the single most redundant candidate then; the
+    # next mapper pass re-evaluates with updated counts.
+    best = jnp.argmax(jnp.where(cand, ratio, -1.0))
+    fallback = jnp.zeros_like(cand).at[best].set(True) & cand
+    cull = jnp.where(jnp.any(cull), cull, fallback)
     dec_final = jax.ops.segment_sum(
         (bound & cull[:, None]).reshape(-1).astype(jnp.int32),
         jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,

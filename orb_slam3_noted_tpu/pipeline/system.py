@@ -147,10 +147,21 @@ class MonoSLAM:
     def _can_insert_kf(self) -> bool:
         if self.n_kf < self.cfg.max_keyframes or self.free_kf_slots:
             return True
-        # at capacity with no known-free slot: refresh liveness at most
-        # every ~8 frames (keyframe culling frees slots device-side)
+        # At capacity with no known-free slot: run a standalone redundancy
+        # cull (the reference culls every mapper pass, but our mapper pass
+        # IS the insertion — at capacity it cannot run, so cull explicitly)
+        # and refresh liveness, at most every ~8 frames.
         if self._refill_cooldown <= 0:
             self._refill_cooldown = 8
+            slot = jnp.int32(self.last_kf_slot)
+            _, kf_mask = MS.local_map_mask(
+                self.m, slot, n_neighbors=self.cfg.local_window
+            )
+            protect = (
+                jnp.zeros(self.cfg.max_keyframes, bool)
+                .at[slot].set(True).at[0].set(True)
+            )
+            self.m = MS.cull_keyframes(self.m, kf_mask, protect)
             self._refill_free_slots(jax.device_get(self.m.kf_valid))
             return bool(self.free_kf_slots)
         self._refill_cooldown -= 1

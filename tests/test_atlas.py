@@ -25,6 +25,11 @@ def test_atlas_switch_and_merge():
         camera=CAM, width=W, height=H, n_features=600,
         max_keyframes=64, max_map_points=8192,
         local_window=4, kf_max_interval=3,
+        # force keyframe churn: the reference-faithful NeedNewKeyFrame only
+        # inserts when tracking drops below thRefRatio of the reference KF;
+        # a ratio > 1 makes the interval triggers effective again for this
+        # scripted scene
+        kf_tracked_ratio=1.5,
         vocab_words=256,
     )
     room = BoxRoom(seed=3)
