@@ -7,8 +7,15 @@ train hierarchically (k=32, 3 levels, the same HKmeansStep construction as
 into one centroid bank — the MXU ``transform`` does exact flat argmin, which
 is strictly better retrieval than a greedy tree descent.
 
-Run:  python scripts/train_vocab.py  (CPU, ~10 min)
-Out:  orb_slam3_noted_tpu/assets/vocab32k.npz  {"vocab": (W, 8) uint32}
+Round 3: the corpus grew from 6 box rooms / 60 views to 18 scenes x 14
+views (~2x10^5 descriptors) with varied geometry, texture statistics and
+camera attitude, and per-word idf weights are now computed from the corpus
+(each view = one document, idf = log(N/Ni) — the weights DBoW2 stores in
+the vocabulary file via ``setNodeWeights``) and shipped alongside.
+
+Run:  python scripts/train_vocab.py  (CPU, ~20 min)
+Out:  orb_slam3_noted_tpu/assets/vocab32k.npz
+      {"vocab": (W, 8) uint32, "idf": (W,) float32}
 """
 
 import os
@@ -32,32 +39,37 @@ from orb_slam3_noted_tpu.geometry import so3                    # noqa: E402
 
 BRANCH = 32
 LEVELS = 3          # 32^3 = 32768 leaf words
-N_SCENES = 6
-N_VIEWS = 10
+N_SCENES = 18
+N_VIEWS = 14
 W, H = 640, 480
 
 
 def harvest_descriptors():
+    """Diverse corpus; returns (descriptors, doc_id per descriptor)."""
     cam = Camera(PINHOLE, (400.0, 400.0, 320.0, 240.0))
-    out = []
+    out, docs = [], []
     rng = np.random.default_rng(7)
+    doc = 0
     for s in range(N_SCENES):
-        room = BoxRoom(seed=100 + s, depth=rng.uniform(5, 10),
-                       h=rng.uniform(1.0, 2.0), w=rng.uniform(2.0, 4.0),
-                       tex_scale=rng.uniform(50, 120))
+        room = BoxRoom(seed=100 + s, depth=rng.uniform(4, 12),
+                       h=rng.uniform(0.8, 2.5), w=rng.uniform(1.5, 5.0),
+                       tex_scale=rng.uniform(30, 160))
         for v in range(N_VIEWS):
             twc = np.array([
-                rng.uniform(-1, 1), rng.uniform(-0.3, 0.3), rng.uniform(0, 3)
+                rng.uniform(-1.2, 1.2), rng.uniform(-0.4, 0.4),
+                rng.uniform(0, room.depth * 0.45),
             ])
-            rvec = jnp.asarray(rng.uniform(-0.25, 0.25, 3), jnp.float32)
+            rvec = jnp.asarray(rng.uniform(-0.45, 0.45, 3), jnp.float32)
             Rwc = np.asarray(so3.exp(rvec))
             img = room.render(Rwc, twc, cam.params, W, H)
             feats = O.extract_orb(jnp.asarray(img, jnp.float32),
                                   n_features=1000)
             d = np.asarray(feats.desc)[np.asarray(feats.valid)]
             out.append(d)
+            docs.append(np.full(len(d), doc, np.int32))
+            doc += 1
             print(f"scene {s} view {v}: {len(d)} descriptors", flush=True)
-    return np.concatenate(out)
+    return np.concatenate(out), np.concatenate(docs)
 
 
 def kmajority(bits, k, n_iters, rng):
@@ -103,7 +115,7 @@ def train_tree(bits, rng, level=0):
 
 
 def main():
-    desc = harvest_descriptors()
+    desc, docs = harvest_descriptors()
     print(f"total descriptors: {len(desc)}", flush=True)
     bits = np.asarray(M.unpack_bits(jnp.asarray(desc)))
     rng = np.random.default_rng(0)
@@ -116,12 +128,36 @@ def main():
         leaves.reshape(len(leaves), 8, 32).astype(np.uint32)
         << shifts[None, None, :]
     ).sum(axis=2, dtype=np.uint32)
+
+    # idf from the corpus: each view is a document (DBoW2 TemplatedVocabulary
+    # setNodeWeights: idf = log(N / Ni), words absent from the corpus get the
+    # max weight)
+    from orb_slam3_noted_tpu.place import vocab as V
+
+    n_docs = int(docs.max()) + 1
+    seen = np.zeros((len(leaves),), np.int64)
+    vocab_dev = jnp.asarray(packed)
+    CH = 20000
+    word = np.empty(len(desc), np.int32)
+    for i in range(0, len(desc), CH):
+        w, _ = V.transform(
+            vocab_dev, jnp.asarray(desc[i:i + CH]),
+            jnp.ones(len(desc[i:i + CH]), bool),
+        )
+        word[i:i + CH] = np.asarray(w)
+    pairs = np.unique(np.stack([docs, word]), axis=1)
+    ni = np.bincount(pairs[1], minlength=len(leaves))
+    idf = np.log(n_docs / np.maximum(ni, 1)).astype(np.float32)
+    idf[ni == 0] = np.log(n_docs)
+    print(f"idf: {int((ni > 0).sum())}/{len(leaves)} words seen in corpus",
+          flush=True)
+
     out = os.path.join(
         os.path.dirname(__file__), "..", "orb_slam3_noted_tpu", "assets",
         "vocab32k.npz",
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez_compressed(out, vocab=packed)
+    np.savez_compressed(out, vocab=packed, idf=idf)
     print(f"saved {out}", flush=True)
 
 
