@@ -34,8 +34,6 @@ from orb_slam3_noted_tpu.models import cameras as cam_mod
 from orb_slam3_noted_tpu.optim import factors
 from orb_slam3_noted_tpu.optim.ba import BAProblem, BAResult
 from orb_slam3_noted_tpu.optim.robust import (
-    CHI2_MONO,
-    CHI2_STEREO,
     chi2_threshold,
     huber_cost,
     huber_weight,
@@ -283,6 +281,9 @@ def distributed_global_ba(
     n_iters: int = 8,
     n_iters_final: int = 4,
     cg_iters: int = 32,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ):
     """Matrix-free GBA with the observation table sharded over a device mesh.
 
@@ -305,17 +306,27 @@ def distributed_global_ba(
     obs = pad_obs_for_mesh(prob.obs, mesh.size)
     rep = P()
     shard = P(axis)
+    # second-camera extrinsics ride along as replicated operands so fisheye
+    # right-camera residual rows survive the shard (round-4 fix: dropping
+    # cam2 silently degraded every observation to mono in multi-device GBA,
+    # leaving scale unconstrained during loop-closure GBA)
+    has_cam2 = cam2 is not None
+    Rrl_in = Rrl if has_cam2 else jnp.eye(3, dtype=prob.tcw.dtype)
+    trl_in = trl if has_cam2 else jnp.zeros(3, dtype=prob.tcw.dtype)
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(rep, rep, rep,
                   jax.tree_util.tree_map(lambda _: shard, obs),
-                  rep, rep),
+                  rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep),
     )
-    def run(Rcw, tcw, points, obs_shard, p_fix, l_fix):
+    def run(Rcw, tcw, points, obs_shard, p_fix, l_fix, Rrl_l, trl_l):
         psum = lambda x: jax.lax.psum(x, axis)
+        cam2_l = cam2 if has_cam2 else None
+        Rrl_a = Rrl_l if has_cam2 else None
+        trl_a = trl_l if has_cam2 else None
         prob_l = BAProblem(
             Rcw=Rcw, tcw=tcw, points=points, obs=obs_shard,
             pose_fixed=p_fix, point_fixed=l_fix,
@@ -327,6 +338,7 @@ def distributed_global_ba(
                 Rcw, tcw, points, lam, _ = _gba_lm_step(
                     cam, Rcw, tcw, points, obs_shard, prob_l, active,
                     use_huber, lam, bf, cg_iters, psum=psum,
+                    cam2=cam2_l, Rrl=Rrl_a, trl=trl_a,
                 )
                 return (Rcw, tcw, points, lam)
 
@@ -338,17 +350,20 @@ def distributed_global_ba(
         Rcw, tcw, points = phase(
             Rcw, tcw, points, obs_shard.valid, jnp.asarray(True), n_iters
         )
-        # outlier re-classification is row-local (no collective needed)
+        # outlier re-classification is row-local (no collective needed);
+        # chi2_threshold handles the joint two-camera 4-dof rows too
         _, _, _, chi2, ok, _ = factors.reproj_residuals(
-            cam, Rcw, tcw, points, obs_shard, bf=bf
+            cam, Rcw, tcw, points, obs_shard, bf=bf,
+            cam2=cam2_l, Rrl=Rrl_a, trl=trl_a,
         )
-        th = jnp.where(obs_shard.is_stereo, CHI2_STEREO, CHI2_MONO)
+        th = chi2_threshold(obs_shard)
         active = obs_shard.valid & ok & (chi2 <= th)
         Rcw, tcw, points = phase(
             Rcw, tcw, points, active, jnp.asarray(False), n_iters_final
         )
         _, _, _, chi2, ok, _ = factors.reproj_residuals(
-            cam, Rcw, tcw, points, obs_shard, bf=bf
+            cam, Rcw, tcw, points, obs_shard, bf=bf,
+            cam2=cam2_l, Rrl=Rrl_a, trl=trl_a,
         )
         inl = obs_shard.valid & ok & (chi2 <= th)
         cost = psum(jnp.sum(jnp.where(inl, chi2, 0.0)))
@@ -356,7 +371,7 @@ def distributed_global_ba(
 
     return run(
         prob.Rcw, prob.tcw, prob.points, obs,
-        prob.pose_fixed, prob.point_fixed,
+        prob.pose_fixed, prob.point_fixed, Rrl_in, trl_in,
     )
 
 
@@ -371,11 +386,14 @@ def run_global_ba_mesh(m, cam, cfg, mesh, bf: float = 0.0,
     "skip GBA when large" escape hatch).
     """
     from orb_slam3_noted_tpu.pipeline import map_state as MS
+    from orb_slam3_noted_tpu.pipeline.tracking import _second_camera
 
     prob = full_map_problem(m, cfg)
+    cam2, Rrl, trl = _second_camera(cfg)
     Rf, tf, pf, cost = distributed_global_ba(
         cam, mesh, prob, bf=bf, n_iters=n_iters,
         n_iters_final=n_iters_final, cg_iters=cg_iters,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     KF = m.kf_Rcw.shape[0]
     MP = m.mp_pos.shape[0]

@@ -337,6 +337,7 @@ class InertialMixin:
         src_mp = jnp.arange(self.m.mp_pos.shape[0], dtype=jnp.int32)
         tgt = jnp.where(keep, f_idx, NF)
         mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+        self._mp_remap = None  # fresh bindings vs current map
         self.m = self.m._replace(
             mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
             mp_found=self.m.mp_found + keep.astype(jnp.int32),

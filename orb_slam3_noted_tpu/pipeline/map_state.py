@@ -448,13 +448,22 @@ def compact_map_points(m: MapArrays):
     ``Map::EraseMapPoint``): a long run continually culls points, and
     without recycling the monotone allocator hits capacity and silently
     stops creating landmarks.  One dispatch: stable-partition the point
-    table by validity, remap every binding.  Returns (m, n_valid).
+    table by validity, remap every binding.
+
+    Returns ``(m, n_valid, inv)`` where ``inv`` maps OLD point index ->
+    NEW point index for points that survived, and -1 for culled slots.
+    Callers holding point bindings computed before the compaction (e.g.
+    an in-flight ``mp_of_feat`` from the last track dispatch) MUST remap
+    them through ``inv`` before using them against the compacted map —
+    otherwise a recycled slot silently rebinds features to the wrong
+    landmark.
     """
     MP = m.mp_pos.shape[0]
     iota = jnp.arange(MP, dtype=jnp.int32)
     order_key = jnp.where(m.mp_valid, iota, iota + MP)  # stable, valid first
     perm = jnp.argsort(order_key).astype(jnp.int32)     # new pos -> old idx
     inv = jnp.zeros(MP, jnp.int32).at[perm].set(iota)   # old idx -> new pos
+    inv_safe = jnp.where(m.mp_valid, inv, -1)
 
     gather = lambda a: a[perm]
     bound_valid = (m.kf_mp >= 0) & m.mp_valid[jnp.clip(m.kf_mp, 0)]
@@ -473,7 +482,29 @@ def compact_map_points(m: MapArrays):
         obs_mat=m.obs_mat[:, perm],
         kf_mp=kf_mp,
     )
-    return m, jnp.sum(m.mp_valid.astype(jnp.int32))
+    return m, jnp.sum(m.mp_valid.astype(jnp.int32)), inv_safe
+
+
+@jax.jit
+def remap_point_bindings(mp_of_feat: jnp.ndarray,
+                         inv: jnp.ndarray) -> jnp.ndarray:
+    """Translate stale point bindings through a compaction remap.
+
+    ``inv`` is the old->new index map from :func:`compact_map_points`
+    (-1 for culled slots); unbound entries (-1) stay unbound.
+    """
+    return jnp.where(
+        mp_of_feat >= 0, inv[jnp.clip(mp_of_feat, 0)], jnp.int32(-1)
+    )
+
+
+@jax.jit
+def compose_point_remaps(first: jnp.ndarray,
+                         second: jnp.ndarray) -> jnp.ndarray:
+    """Compose two compaction remaps: oldest index -> newest index."""
+    return jnp.where(
+        first >= 0, second[jnp.clip(first, 0)], jnp.int32(-1)
+    )
 
 
 @jax.jit

@@ -62,6 +62,10 @@ class MonoSLAM:
         self.n_kf = 0
         self._n_mp = 0
         self._n_mp_pending = None   # device scalar awaiting lazy sync
+        # composed old->new point-index map of every compaction since the
+        # last track dispatch; in-flight feature->point bindings from that
+        # dispatch must pass through it before touching the map
+        self._mp_remap = None
         self._pending_loops = []    # enqueued loop detections (device futures)
         # host mirror of keyframe frame-ids (avoids device pulls on the loop
         # closer's recency exclusion; -1 = empty slot)
@@ -375,6 +379,7 @@ class MonoSLAM:
                     Rs, ts, n_inls, feats_all, mp_feats, aux = (
                         self._batch_track(prep, vel, cm)
                     )
+                    self._mp_remap = None  # fresh bindings vs current map
                     # ONE bulk pull for everything the host needs this
                     # dispatch — each separate np.asarray costs a full
                     # device-tunnel round trip (~30 ms measured)
@@ -409,6 +414,7 @@ class MonoSLAM:
                     Rs, ts, n_inls, mp_feats = self._batch_retrack(
                         rolled, aux_rolled, vel, cm
                     )
+                    self._mp_remap = None  # fresh bindings vs current map
                     cc = self._close_counts(mp_feats, aux_rolled)
                     extra = () if cc is None else cc
                     if self._n_mp_pending is not None:
@@ -482,6 +488,7 @@ class MonoSLAM:
             self.m, img_u8, jnp.int32(self.last_kf_slot), Rp, tp,
             self.cam, cfg, bf=0.0,
         )
+        self._mp_remap = None  # fresh bindings vs current map
         # single bulk pull per frame (a per-array pull costs a ~30 ms
         # device-tunnel round trip each)
         Rn, tn, n = jax.device_get((Rcw, tcw, n_inl))
@@ -653,6 +660,7 @@ class MonoSLAM:
             self.m, feats, Rp, tp, mp_mask, self.cam, cfg,
             feat_uvr=uvr, bf=cfg.bf, feat_uv2=xy_r,
         )
+        self._mp_remap = None  # fresh bindings vs current map
         self.m = self.m._replace(
             mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
             mp_found=self.m.mp_found + found.astype(jnp.int32),
@@ -698,6 +706,7 @@ class MonoSLAM:
                 self.m, feats, res.Rcw, res.tcw, mp_mask, self.cam, self.cfg,
                 feat_uvr=None, bf=0.0,
             )
+            self._mp_remap = None  # fresh bindings vs current map
             n = int(n_inl)
             if n >= 2 * self.cfg.min_tracked_points:
                 self.last_kf_slot = cand
@@ -724,12 +733,21 @@ class MonoSLAM:
         depth_arr = depth if depth is not None else jnp.full(
             (NF,), -1.0, jnp.float32
         )
+        # bindings computed by a track dispatch BEFORE an earlier
+        # compaction this walk still carry old point indices — remap them
+        # or the keyframe binds features to recycled slots
+        if self._mp_remap is not None:
+            mp_of_feat = MS.remap_point_bindings(mp_of_feat, self._mp_remap)
         # free-list half of the map-point lifecycle: compact culled slots
         # away before the allocator runs out (last-known fill level; the
         # pointer refreshes with each batch's bulk pull)
         if self._n_mp > 0.85 * cfg.max_map_points:
-            self.m, n_mp_dev = MS.compact_map_points(self.m)
+            self.m, n_mp_dev, inv = MS.compact_map_points(self.m)
             self._n_mp_pending = n_mp_dev
+            mp_of_feat = MS.remap_point_bindings(mp_of_feat, inv)
+            self._mp_remap = inv if self._mp_remap is None else (
+                MS.compose_point_remaps(self._mp_remap, inv)
+            )
         with TIMER.stage("insert_keyframe"):
             self.m, n_mp = T.insert_keyframe_step(
                 self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),

@@ -136,6 +136,45 @@ class TestCulling:
         assert bool(m3.kf_valid[0])
 
 
+class TestCompaction:
+    def test_compact_returns_remap(self, rng):
+        """`compact_map_points` must hand back an old->new index map so
+        in-flight feature bindings survive the permutation (round-4 fix:
+        stale `mp_of_feat` after mid-walk compaction bound features to the
+        wrong landmarks)."""
+        m, n = make_map_with_duplicates(rng)
+        # punch holes: invalidate every third point below the pointer
+        valid = np.asarray(m.mp_valid)
+        holes = np.zeros_like(valid)
+        holes[: 2 * n : 3] = True
+        m = m._replace(mp_valid=jnp.asarray(valid & ~holes))
+        pos_before = np.asarray(m.mp_pos)
+        m2, n_valid, inv = MS.compact_map_points(m)
+        inv = np.asarray(inv)
+        assert int(n_valid) == int((valid & ~holes).sum())
+        # every surviving old index maps to a slot holding the same point
+        pos_after = np.asarray(m2.mp_pos)
+        for old in np.nonzero(valid & ~holes)[0]:
+            assert inv[old] >= 0
+            np.testing.assert_array_equal(pos_after[inv[old]], pos_before[old])
+        # culled slots map to -1
+        assert (inv[np.nonzero(holes & valid)[0]] == -1).all()
+        # remap helper: stale bindings translate, unbound stays unbound
+        stale = jnp.asarray(
+            np.r_[np.arange(2 * n, dtype=np.int32), np.int32(-1)]
+        )
+        remapped = np.asarray(MS.remap_point_bindings(stale, jnp.asarray(inv)))
+        assert remapped[-1] == -1
+        np.testing.assert_array_equal(remapped[: 2 * n], inv[: 2 * n])
+        # composition: two compactions compose to one old->newest map
+        m3, _, inv2 = MS.compact_map_points(m2)
+        comp = np.asarray(
+            MS.compose_point_remaps(jnp.asarray(inv), jnp.asarray(inv2))
+        )
+        for old in np.nonzero(valid & ~holes)[0]:
+            assert comp[old] == np.asarray(inv2)[inv[old]]
+
+
 @pytest.mark.slow
 def test_kf_slot_recycling_past_capacity():
     """A run that allocates past max_keyframes must keep inserting by
