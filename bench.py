@@ -56,11 +56,11 @@ def main():
     B = 16  # frames per device dispatch (throughput mode)
 
     def run_lap():
+        # batched from frame 0: process_batch handles initialization with
+        # batched two-view attempts (round-4 `_init_consume` — the per-frame
+        # init retries were 31% of the round-3 bench wall)
         slam = MonoSLAM(cfg)
         i = 0
-        while i < n_frames and slam.state == "NOT_INITIALIZED":
-            slam.process(frames[i], i)
-            i += 1
         while i < n_frames:
             j = min(i + B, n_frames)
             slam.process_batch(frames[i:j], list(range(i, j)))
@@ -128,6 +128,80 @@ def main():
     print(f"stereo n_kf={s.n_kf} n_mp={s.n_mp}", file=sys.stderr)
     ok_s = sum(1 for r in s.trajectory if r.state == "OK")
     fps_s = n_s / wall_s
+
+    # --- stereo-inertial lap (the BASELINE gate configuration) ---
+    from orb_slam3_noted_tpu.pipeline.inertial_system import StereoInertialSLAM
+    from orb_slam3_noted_tpu.utils.synthetic import smooth_pose, synth_imu
+
+    fps_cam = 20.0
+    imu_hz = 200.0
+    cfg_vi = SlamConfig(
+        camera=cam, width=W, height=H, n_features=nfeat, fps=fps_cam,
+        bf=bf, th_depth=45.0,
+        max_keyframes=64, max_map_points=16384,
+        local_window=5, kf_max_interval=10, min_tracked_points=15,
+        imu_init_time=0.9, imu_viba1_time=2.5, imu_viba2_time=1e9,
+        imu_init_min_kfs=3, inertial_window=8,
+        imu_noise_gyro=1.7e-4, imu_noise_acc=2e-3,
+        imu_walk_gyro=1.9e-5, imu_walk_acc=3e-3, imu_freq=imu_hz,
+    )
+    n_vi = 96
+    times_vi = [i / fps_cam for i in range(n_vi)]
+    pairs_vi_np = []
+    for t in times_vi:
+        Rwc, twc = smooth_pose(t)
+        pairs_vi_np.append(
+            stereo_pair(room, Rwc, twc, cam.params, W, H, 0.11)[:2]
+        )
+    Lv = jax.device_put(
+        np.stack([p[0] for p in pairs_vi_np]).astype(np.uint8))
+    Rv = jax.device_put(
+        np.stack([p[1] for p in pairs_vi_np]).astype(np.uint8))
+    pairs_vi = [(Lv[i], Rv[i]) for i in range(n_vi)]
+    imu_chunks = []
+    t_prev = -1.0 / fps_cam
+    for s0 in range(0, n_vi, B):
+        s1 = min(s0 + B, n_vi)
+        a, g, ts_i = synth_imu(t_prev, times_vi[s1 - 1], hz=imu_hz)
+        imu_chunks.append((a, g, ts_i))
+        t_prev = times_vi[s1 - 1]
+
+    def run_vi():
+        sv = StereoInertialSLAM(cfg_vi)
+        for ci, s0 in enumerate(range(0, n_vi, B)):
+            s1 = min(s0 + B, n_vi)
+            a, g, ts_i = imu_chunks[ci]
+            sv.process_batch(
+                pairs_vi[s0:s1], list(range(s0, s1)), ts=times_vi[s0:s1],
+                acc=a, gyr=g, imu_t=ts_i,
+            )
+        return sv
+
+    run_vi()  # warm-up/compile
+    GLOBAL_TIMER.spans.clear()
+    t0 = time.time()
+    sv = run_vi()
+    wall_vi = time.time() - t0
+    GLOBAL_TIMER.print_stats(file=sys.stderr)
+    print(
+        f"stereo-inertial n_kf={sv.n_kf} n_mp={sv.n_mp} "
+        f"imu_stage={sv.imu_stage}", file=sys.stderr,
+    )
+    ok_vi = sum(1 for r in sv.trajectory if r.state == "OK")
+    fps_vi = n_vi / wall_vi
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_inertial_tracked_fps_752x480_1200feat",
+                "value": round(fps_vi, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps_vi / 20.0, 3),
+                "tracked_frames": ok_vi,
+                "n_frames": n_vi,
+                "imu_stage": sv.imu_stage,
+            }
+        )
+    )
     print(
         json.dumps(
             {

@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--out", default="trajectory.txt")
     p.add_argument("--format", default="tum", choices=["tum", "euroc", "kitti"])
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per device dispatch (throughput mode; "
+                        "mono/stereo/stereo-inertial)")
     p.add_argument("--eval", action="store_true",
                    help="evaluate ATE against the sequence ground truth")
     p.add_argument("--checkpoint-out", default=None)
@@ -99,38 +102,68 @@ def main(argv=None):
         load_map(args.checkpoint_in, slam)
 
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
-    t_prev = None
-    t_start = time.time()
-    stamps = []
-    for i in range(n):
-        ts = float(seq.timestamps[i])
+    batch = max(args.batch, 1)
+    if batch > 1 and args.mode == "mono-inertial":
+        batch = 1  # no batched path for mono-inertial yet
+
+    def read_frame(i):
         imgs = seq.read(i)
         if rect is not None and stereo:
             maps_l, maps_r = rect[0]
             imgs = (D.rectify(imgs[0], maps_l), D.rectify(imgs[1], maps_r))
-        kw = {}
-        if inertial and seq.imu is not None:
-            lo = t_prev if t_prev is not None else ts - 1.0
-            chunk = seq.imu.between(lo, ts)
-            kw = dict(t=ts, acc=chunk.acc, gyr=chunk.gyr, imu_t=chunk.t)
-        with GLOBAL_TIMER.stage("frame_total"):
-            if stereo:
-                slam.process(imgs[0], imgs[1], i, **kw)
-            elif inertial:
-                slam.process(imgs, i, **kw)
-            else:
-                slam.process(imgs, i)
-        stamps.append(ts)
-        t_prev = ts
-        if i % 50 == 0:
+        return imgs
+
+    t_prev = None
+    t_start = time.time()
+    stamps = [float(t) for t in seq.timestamps[:n]]
+    i = 0
+    while i < n:
+        j = min(i + batch, n)
+        if batch == 1:
+            ts = stamps[i]
+            imgs = read_frame(i)
+            kw = {}
+            if inertial and seq.imu is not None:
+                lo = t_prev if t_prev is not None else ts - 1.0
+                chunk = seq.imu.between(lo, ts)
+                kw = dict(t=ts, acc=chunk.acc, gyr=chunk.gyr, imu_t=chunk.t)
+            with GLOBAL_TIMER.stage("frame_total"):
+                if stereo:
+                    slam.process(imgs[0], imgs[1], i, **kw)
+                elif inertial:
+                    slam.process(imgs, i, **kw)
+                else:
+                    slam.process(imgs, i)
+            t_prev = ts
+        else:
+            frames = [read_frame(k) for k in range(i, j)]
+            kw = {}
+            if inertial and seq.imu is not None:
+                lo = t_prev if t_prev is not None else stamps[i] - 1.0
+                chunk = seq.imu.between(lo, stamps[j - 1])
+                kw = dict(ts=stamps[i:j], acc=chunk.acc, gyr=chunk.gyr,
+                          imu_t=chunk.t)
+            with GLOBAL_TIMER.stage("frame_total"):
+                slam.process_batch(frames, list(range(i, j)), **kw)
+            t_prev = stamps[j - 1]
+        if (i // max(batch, 1)) % max(50 // max(batch, 1), 1) == 0:
             ok = slam.trajectory[-1].state if slam.trajectory else "-"
             print(f"[{i}/{n}] state={ok} kf={slam.n_kf} mp={slam.n_mp}",
                   file=sys.stderr)
+        i = j
+    if hasattr(slam, "flush"):
+        slam.flush()
     wall = time.time() - t_start
 
+    class _Rec:
+        __slots__ = ("timestamp", "Rcw", "tcw")
+
+        def __init__(self, timestamp, Rcw, tcw):
+            self.timestamp, self.Rcw, self.tcw = timestamp, Rcw, tcw
+
     records = [
-        (stamps[min(r.frame_id, len(stamps) - 1)], r.Rcw, r.tcw)
-        for r in slam.trajectory
+        _Rec(stamps[min(r.frame_id, len(stamps) - 1)], R, t)
+        for r, (R, t) in zip(slam.trajectory, slam.final_poses())
     ]
     saver = {"tum": TRJ.save_tum, "euroc": TRJ.save_euroc,
              "kitti": TRJ.save_kitti}[args.format]
@@ -145,16 +178,30 @@ def main(argv=None):
     if args.eval and seq.gt_pos is not None:
         from orb_slam3_noted_tpu.utils.evaluation import ate_rmse
 
-        est_t = np.asarray(stamps)[
-            [min(r.frame_id, len(stamps) - 1) for r in slam.trajectory]
-        ]
-        est_p = np.stack([-r.Rcw.T @ r.tcw for r in slam.trajectory])
-        ate, s = ate_rmse(
-            est_t, est_p, seq.gt_t, seq.gt_pos,
-            align_scale=args.mode.startswith("mono"),
+        # timestamp association (reference evaluation/associate.py): nearest
+        # GT sample within 20 ms of each tracked frame
+        tracked = [r for r in slam.trajectory if r.state == "OK"]
+        est_t = np.asarray(
+            [stamps[min(r.frame_id, len(stamps) - 1)] for r in tracked]
         )
-        result["ate_rmse_m"] = round(float(ate), 4)
-        result["align_scale"] = round(float(s), 4)
+        pos_all = slam.positions()  # rel-pose records follow BA refinements
+        idx_ok = [k for k, r in enumerate(slam.trajectory) if r.state == "OK"]
+        est_p = pos_all[idx_ok]
+        gt_t = np.asarray(seq.gt_t)
+        gi = np.clip(np.searchsorted(gt_t, est_t), 1, len(gt_t) - 1)
+        prev = gi - 1
+        gi = np.where(
+            np.abs(gt_t[prev] - est_t) < np.abs(gt_t[gi] - est_t), prev, gi
+        )
+        ok_assoc = np.abs(gt_t[gi] - est_t) < 0.02
+        if int(ok_assoc.sum()) >= 3:
+            rmse, _, (_, _, s) = ate_rmse(
+                est_p[ok_assoc], np.asarray(seq.gt_pos)[gi[ok_assoc]],
+                with_scale=args.mode.startswith("mono"),
+            )
+            result["ate_rmse_m"] = round(float(rmse), 4)
+            result["align_scale"] = round(float(s), 4)
+            result["eval_frames"] = int(ok_assoc.sum())
 
     if args.checkpoint_out:
         from orb_slam3_noted_tpu.io.checkpoint import save_map

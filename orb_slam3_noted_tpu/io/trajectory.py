@@ -23,12 +23,18 @@ def _twc_quat(Rcw: np.ndarray, tcw: np.ndarray):
     return Rwc, twc, q
 
 
+def _stamp(rec):
+    """Timestamp of a record; frame_id stands in when none is stored."""
+    t = getattr(rec, "timestamp", None)
+    return t if t is not None else rec.frame_id
+
+
 def save_tum(path: str, records):
     """records: iterable of FrameRecord (frame_id used as timestamp if no
     timestamps attribute)."""
     with open(path, "w") as f:
         for rec in records:
-            t = getattr(rec, "timestamp", rec.frame_id)
+            t = _stamp(rec)
             _, twc, q = _twc_quat(rec.Rcw, rec.tcw)
             f.write(
                 f"{t:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
@@ -39,7 +45,7 @@ def save_tum(path: str, records):
 def save_euroc(path: str, records):
     with open(path, "w") as f:
         for rec in records:
-            t = getattr(rec, "timestamp", rec.frame_id)
+            t = _stamp(rec)
             _, twc, q = _twc_quat(rec.Rcw, rec.tcw)
             f.write(
                 f"{int(t*1e9)} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "

@@ -345,6 +345,90 @@ class InertialMixin:
         return Rcw, tcw, n_inl, mp_of_feat, (Rcw_p, tcw_p)
 
 
+from functools import partial as _partial
+
+# padded IMU sample count per anchor->frame interval in batch mode: at
+# 200 Hz this covers ~2.5 s since the last keyframe — inertial keyframes
+# come every <=0.5 s, plus up to a full batch of frames mid-walk
+_BATCH_PAD = 512
+
+
+@_partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def vi_track_batch(
+    m,
+    feats_all,              # FrameFeatures with leading (B,) dim
+    uvr_all,                # (B, NF) right-x per feature (-1 invalid)
+    anchor_slot,            # int32 — last keyframe slot (shared anchor)
+    anchor_vel,             # (3,) anchor body velocity
+    anchor_bg, anchor_ba,   # (3,) anchor biases
+    acc, gyr, dts,          # (B, PAD, 3)/(B, PAD) resampled anchor->frame_j
+    calib,
+    cam, cfg, bf,
+    count_mask,             # (B,) frames allowed to bump visible/found
+):
+    """Visual-inertial tracking of a whole frame batch in ONE dispatch.
+
+    The inertial analogue of :func:`tracking.stereo_track_batch` (round-4:
+    the BASELINE gate config is stereo-inertial and had no throughput mode).
+    Unlike visual batch tracking there is NO sequential dependency between
+    frames: each frame's pose prediction comes from the shared anchor
+    keyframe via its own preintegrated IMU span (reference
+    ``Tracking::PredictStateIMU``, `src/Tracking.cc:1498`), so the whole
+    batch is vmapped — preintegration scan, projection matching, and
+    ``PoseInertialOptimizationLastKeyFrame`` all run B-wide.
+
+    Returns (m, Rcw (B,3,3), tcw (B,3), n_inls (B,), mp_feats (B,NF),
+    vels (B,3) body velocities).
+    """
+    anchor_Rcw = m.kf_Rcw[anchor_slot]
+    anchor_tcw = m.kf_tcw[anchor_slot]
+    aRwb, atwb = body_from_cam(anchor_Rcw, anchor_tcw, calib)
+    anchor = VIState(Rwb=aRwb, twb=atwb, vel=anchor_vel,
+                     bg=anchor_bg, ba=anchor_ba)
+    bias = Bias(anchor_bg, anchor_ba)
+    mp_mask, _ = MS.local_map_mask(
+        m, anchor_slot, n_neighbors=cfg.local_window
+    )
+    NF = feats_all.xy.shape[1]
+    MP = m.mp_pos.shape[0]
+    src_mp = jnp.arange(MP, dtype=jnp.int32)
+
+    def one(feats, uvr, a, w, d):
+        pre = integrate_measurements(bias, a, w, d, calib)
+        Rp, tp, vp = predict_state(anchor.Rwb, anchor.twb, anchor.vel,
+                                   pre, bias)
+        frame0 = VIState(Rwb=Rp, twb=tp, vel=vp, bg=anchor.bg, ba=anchor.ba)
+        Rcw_p, tcw_p = cam_from_body(
+            jax.tree_util.tree_map(lambda x: x[None], frame0), calib
+        )
+        obs, f_idx, vis = T.match_local_map(
+            m, feats, Rcw_p[0], tcw_p[0], mp_mask, cam, cfg, feat_uvr=uvr,
+        )
+        res = vi_pose_optimization(
+            cam, calib, anchor, frame0, pre, m.mp_pos, obs, bf=bf,
+        )
+        st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
+                      vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
+        Rcw, tcw = cam_from_body(st1, calib)
+        keep = obs.valid & res.inliers
+        tgt = jnp.where(keep, f_idx, NF)
+        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+        return (Rcw[0], tcw[0], res.n_inliers, mp_of_feat, res.vel,
+                vis, keep)
+
+    Rs, ts, n_inls, mp_feats, vels, vis_all, keep_all = jax.vmap(one)(
+        feats_all, uvr_all, acc, gyr, dts
+    )
+    cmf = count_mask[:, None]
+    m = m._replace(
+        mp_visible=m.mp_visible
+        + jnp.sum(vis_all & cmf, axis=0).astype(jnp.int32),
+        mp_found=m.mp_found
+        + jnp.sum(keep_all & cmf, axis=0).astype(jnp.int32),
+    )
+    return m, Rs, ts, n_inls, mp_feats, vels
+
+
 class MonoInertialSLAM(InertialMixin, MonoSLAM):
     """Monocular-inertial SLAM (reference ``System::IMU_MONOCULAR``)."""
 
@@ -581,4 +665,122 @@ class StereoInertialSLAM(MonoInertialSLAM):
                     )
         self._try_imu_init(t)
         self._cur_time = t
+        return self.trajectory[-1]
+
+    # ------------------------------------------------------------------
+    # throughput mode (round-4: the BASELINE gate config is stereo-inertial
+    # and previously had no batched path at all)
+    def process_batch(self, imgs, frame_ids, ts=None,
+                      acc=None, gyr=None, imu_t=None):
+        """Track a batch of (left, right) frame pairs per device dispatch.
+
+        Per-frame until the IMU is initialized (the visual accumulation
+        phase is short and bounded — reference ``InitializeIMU`` fires at
+        ~2 s); afterwards the whole batch runs through ONE batched stereo
+        frontend dispatch + ONE vmapped visual-inertial tracking dispatch
+        (:func:`vi_track_batch`), with the host walking per-frame outcomes
+        and re-dispatching the remainder after a mid-batch keyframe.
+        """
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
+
+        cfg = self.cfg
+        if acc is not None:
+            self.feed_imu(acc, gyr, imu_t)
+        if ts is None:
+            ts = [float(f) / cfg.fps for f in frame_ids]
+        i = 0
+        n = len(imgs)
+        while i < n and (self.state == NOT_INITIALIZED or self.imu_stage == 0):
+            self.process(imgs[i][0], imgs[i][1], frame_ids[i], t=ts[i])
+            i += 1
+        if i >= n:
+            return self.trajectory[-1] if self.trajectory else None
+
+        B = n - i
+        ids = list(frame_ids[i:])
+        tss = list(ts[i:])
+        prepL, prepR = StereoSLAM._prep_batch(self, imgs[i:], 0)
+        with TIMER.stage("vi_frontend_batch"):
+            feats_all, uvr_all, depth_all = T.stereo_frontend_batch(
+                prepL, prepR, self.cam, cfg, bf=cfg.bf
+            )
+        tree = jax.tree_util.tree_map
+        pos = 0
+        while pos < B:
+            anchor_slot = self.kf_order[-1]
+            t_kf = self.kf_times[-1]
+            # per-frame resampled IMU spans anchor -> frame_j, rolled so the
+            # next uncommitted frame leads (static shapes across dispatches)
+            accs = np.zeros((B, _BATCH_PAD, 3), np.float32)
+            gyrs = np.zeros((B, _BATCH_PAD, 3), np.float32)
+            dtss = np.zeros((B, _BATCH_PAD), np.float32)
+            for k in range(B - pos):
+                a, w, d = self.imu.interval(t_kf, tss[pos + k])
+                mlen = min(len(d), _BATCH_PAD)
+                accs[k, :mlen] = a[:mlen]
+                gyrs[k, :mlen] = w[:mlen]
+                dtss[k, :mlen] = d[:mlen]
+            if pos:
+                feats_cur = tree(lambda x: jnp.roll(x, -pos, axis=0), feats_all)
+                uvr_cur = jnp.roll(uvr_all, -pos, axis=0)
+                depth_cur = jnp.roll(depth_all, -pos, axis=0)
+            else:
+                feats_cur, uvr_cur, depth_cur = feats_all, uvr_all, depth_all
+            cm = jnp.arange(B) < (B - pos)
+            with TIMER.stage("vi_track_batch"):
+                self.m, Rs, ts_d, n_inls, mp_feats, vels = vi_track_batch(
+                    self.m, feats_cur, uvr_cur, jnp.int32(anchor_slot),
+                    self.ki.vel[anchor_slot], self.ki.bg[anchor_slot],
+                    self.ki.ba[anchor_slot],
+                    jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dtss),
+                    self.calib, self.cam, cfg, bf=cfg.bf, count_mask=cm,
+                )
+                self._mp_remap = None  # fresh bindings vs current map
+                close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
+                close = (depth_cur > 0) & (depth_cur < close_th)
+                tc_d = jnp.sum((mp_feats >= 0) & close, axis=1)
+                ntc_d = jnp.sum((mp_feats < 0) & close, axis=1)
+                n_np, Rs_np, ts_np, tc_np, ntc_np = jax.device_get(
+                    (n_inls, Rs, ts_d, tc_d, ntc_d)
+                )
+
+            k_kf = None
+            for k in range(B - pos):
+                j = pos + k
+                t_j = tss[j]
+                self._cur_time = t_j
+                nk = int(n_np[k])
+                ok = nk >= cfg.min_tracked_points
+                self._update_lost_state(ok)
+                self.frames_since_kf += 1
+                self._record(ids[j], Rs_np[k], ts_np[k], nk)
+                if ok:
+                    self.state = OK
+                    self.cur_vel = vels[k]
+                need = ok and self._need_new_kf(
+                    nk, tracked_close=int(tc_np[k]),
+                    nontracked_close=int(ntc_np[k]),
+                )
+                if need:
+                    # the chain segment must span anchor -> this frame
+                    self.since_kf = self.imu.interval(t_kf, t_j)
+                    self.last_t = t_j
+                    feats_k = tree(lambda x: x[k], feats_cur)
+                    self._insert_keyframe(
+                        feats_k, ids[j], Rs[k], ts_d[k], mp_feats[k], nk,
+                        uvr=uvr_cur[k], depth=depth_cur[k],
+                    )
+                    self._try_imu_init(t_j)
+                    if j + 1 < B:
+                        k_kf = j
+                        break
+            if k_kf is None:
+                pos = B
+            else:
+                pos = k_kf + 1
+        # leave the incremental accumulators consistent for any subsequent
+        # per-frame processing
+        self.since_kf = self.imu.interval(self.kf_times[-1], tss[-1])
+        self.last_t = tss[-1]
+        self._cur_time = tss[-1]
         return self.trajectory[-1]

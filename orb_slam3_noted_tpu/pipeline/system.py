@@ -355,8 +355,7 @@ class MonoSLAM:
         cfg = self.cfg
         i = 0
         while self.state == NOT_INITIALIZED and i < len(imgs):
-            self._process_one(imgs[i], frame_ids[i])
-            i += 1
+            i += self._init_consume(imgs[i:], frame_ids[i:])
         if i >= len(imgs):
             return self.trajectory[-1] if self.trajectory else None
 
@@ -593,14 +592,24 @@ class MonoSLAM:
         if not bool(success):
             self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
             return
+        self._finish_initialize(
+            feats, frame_id, idx, good, res.points1, res.R21, res.t21,
+            pts1_np, R21_np, t21_np,
+        )
 
+    def _finish_initialize(self, feats, frame_id, idx, good, pts1_dev,
+                           R21_dev, t21_dev, pts1_np, R21_np, t21_np):
+        """Build the two-keyframe initial map from a successful two-view
+        reconstruction (reference ``CreateInitialMapMonocular``)."""
+        cfg = self.cfg
+        ref = self.ref_feats
         # normalize scale: median depth of accepted points -> 1 (reference
         # CreateInitialMapMonocular)
         z = pts1_np[:, 2]
         med = float(np.median(z[good]))
         scale = 1.0 / max(med, 1e-6)
-        pts_w = res.points1 * scale        # KF0 frame == world
-        t21 = res.t21 * scale
+        pts_w = pts1_dev * scale        # KF0 frame == world
+        t21 = t21_dev * scale
 
         m = self.m
         NF = cfg.n_features
@@ -612,7 +621,7 @@ class MonoSLAM:
             jnp.full((NF,), -1.0, jnp.float32),
         )
         m = MS.add_keyframe(
-            m, jnp.int32(1), res.R21, t21, jnp.int32(frame_id),
+            m, jnp.int32(1), R21_dev, t21, jnp.int32(frame_id),
             feats.xy, feats.level, feats.angle, feats.desc, feats.valid, nobind,
             jnp.full((NF,), -1.0, jnp.float32),
         )
@@ -642,6 +651,64 @@ class MonoSLAM:
         self.tracked_at_kf = self.n_mp
         self.vel = None
         self._record(frame_id, R21_np, t21_np * scale, self.n_mp)
+
+    # ------------------------------------------------------------------
+    def _init_consume(self, imgs, frame_ids):
+        """Batched initialization attempts for throughput mode.
+
+        ONE extraction dispatch + ONE vmapped two-view attempt dispatch for
+        the whole remaining batch (vs ~300 ms per per-frame attempt — 31%
+        of the round-3 bench wall was mono init retries).  Returns the
+        number of frames consumed (>= 1); the per-frame reset/success
+        policy of ``_try_initialize`` is preserved by walking the pulled
+        outcomes in frame order.
+        """
+        with TIMER.stage("initialize"):
+            return self._init_consume_timed(imgs, frame_ids)
+
+    def _init_consume_timed(self, imgs, frame_ids):
+        cfg = self.cfg
+        tree = jax.tree_util.tree_map
+        batch = self._prep_batch(imgs, 0).astype(jnp.float32)
+        feats_all = O.extract_orb_batch(
+            batch, n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor, th_high=cfg.ini_th_fast,
+            th_low=cfg.min_th_fast,
+        )
+        start = 0
+        if self.ref_feats is None:
+            self.ref_feats = tree(lambda x: x[0], feats_all)
+            self.ref_frame_id = frame_ids[0]
+            self._record(frame_ids[0], jnp.eye(3, dtype=jnp.float32),
+                         jnp.zeros(3, jnp.float32), 0)
+            if len(imgs) == 1:
+                return 1
+            start = 1
+        cand = tree(lambda x: x[start:], feats_all)
+        n_m, succ, good, pts1, R21, t21, idx = T.init_attempt_batch(
+            self.ref_feats, cand, self.cam,
+            jax.random.PRNGKey(int(frame_ids[start])),
+        )
+        n_m_np, succ_np, good_np, pts1_np, R21_np, t21_np = jax.device_get(
+            (n_m, succ, good, pts1, R21, t21)
+        )
+        for j in range(len(frame_ids) - start):
+            fid = frame_ids[start + j]
+            if int(n_m_np[j]) < 100:
+                # reference resets the initializer when matching is weak
+                self.ref_feats = tree(lambda x: x[j], cand)
+                self.ref_frame_id = fid
+                self._record(fid, self.last_Rcw, self.last_tcw, 0)
+                return start + j + 1
+            if bool(succ_np[j]):
+                feats_j = tree(lambda x: x[j], cand)
+                self._finish_initialize(
+                    feats_j, fid, idx[j], good_np[j], pts1[j], R21[j],
+                    t21[j], pts1_np[j], R21_np[j], t21_np[j],
+                )
+                return start + j + 1
+            self._record(fid, self.last_Rcw, self.last_tcw, 0)
+        return len(frame_ids)
 
     # ------------------------------------------------------------------
     def _track(self, feats, frame_id, uvr=None, depth=None, xy_r=None):
@@ -845,6 +912,21 @@ class MonoSLAM:
         self.n_mp += n_new
         return m, n_new
 
+    def _add_candidates_init(self, m, out, accept):
+        """Insert the initial map's candidate points (all bound to KF 0).
+
+        Lives on the base class because every stereo-backed variant
+        (StereoSLAM, RGBDSLAM, StereoInertialSLAM — which does NOT inherit
+        StereoSLAM) initializes through ``_stereo_initialize``."""
+        pos_w, desc, normal, dmin, dmax, feat_a, feat_b, _ = out
+        n_new = int(jnp.sum(accept))
+        m = MS.add_map_points(
+            m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
+            jnp.int32(0), accept, jnp.int32(0), feat_a, jnp.int32(0), feat_b,
+        )
+        self.n_mp += n_new
+        return m, n_new
+
     # ------------------------------------------------------------------
     def positions(self):
         """(N, 3) camera-center trajectory (world frame).
@@ -866,6 +948,21 @@ class MonoSLAM:
             out.append(-R.T @ t)
         return np.stack(out)
 
+    def final_poses(self):
+        """[(Rcw, tcw)] per trajectory record with every BA/loop refinement
+        retro-applied through the relative-pose mechanism (the full-pose
+        sibling of :meth:`positions`; reference ``SaveTrajectoryTUM``)."""
+        kfR = np.asarray(self.m.kf_Rcw)
+        kft = np.asarray(self.m.kf_tcw)
+        out = []
+        for rec in self.trajectory:
+            if rec.ref_slot >= 0 and rec.rel_R is not None:
+                Rr, tr = kfR[rec.ref_slot], kft[rec.ref_slot]
+                out.append((rec.rel_R @ Rr, rec.rel_R @ tr + rec.rel_t))
+            else:
+                out.append((np.asarray(rec.Rcw), np.asarray(rec.tcw)))
+        return out
+
 
 class StereoSLAM(MonoSLAM):
     """Stereo SLAM: rectified pair in, metric-scale map out.
@@ -885,6 +982,11 @@ class StereoSLAM(MonoSLAM):
     # matcher is vmapped (round-3 batched stereo path)
     def _process_one(self, frame, frame_id):
         self.process(frame[0], frame[1], frame_id)
+
+    def _init_consume(self, imgs, frame_ids):
+        # stereo init is single-frame (depth-backed); no batching needed
+        self._process_one(imgs[0], frame_ids[0])
+        return 1
 
     def _prep_batch(self, frames, n_pad):
         if isinstance(frames[0][0], jnp.ndarray):
@@ -981,16 +1083,6 @@ class StereoSLAM(MonoSLAM):
         self.vel = None
         self._record(frame_id, jnp.eye(3, dtype=jnp.float32),
                      jnp.zeros(3, jnp.float32), self.n_mp)
-
-    def _add_candidates_init(self, m, out, accept):
-        pos_w, desc, normal, dmin, dmax, feat_a, feat_b, _ = out
-        n_new = int(jnp.sum(accept))
-        m = MS.add_map_points(
-            m, jnp.int32(self.n_mp), pos_w, desc, normal, dmin, dmax,
-            jnp.int32(0), accept, jnp.int32(0), feat_a, jnp.int32(0), feat_b,
-        )
-        self.n_mp += n_new
-        return m, n_new
 
 
 class FisheyeStereoSLAM(StereoSLAM):

@@ -356,6 +356,45 @@ def triangulate_between(
     return pos_w, desc, normal, dmin, dmax, jnp.arange(NF, dtype=jnp.int32), idx_b, accept
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def init_attempt_batch(ref, feats_all, cam, key):
+    """Two-view initialization attempts of one reference frame against a
+    whole batch of candidate frames — ONE device dispatch.
+
+    The per-frame path (``MonoSLAM._try_initialize``) costs ~300 ms per
+    attempt (matching + dual H/E RANSAC + a host sync each); during bench
+    startup 4 attempts burned 31% of the wall clock.  Batch the attempts:
+    vmapped Hamming matching + ``reconstruct_two_views`` over all B
+    candidates, one bulk pull, and the host walks the per-frame outcomes in
+    order (reference ``Tracking::MonocularInitialization``,
+    `/root/reference/src/Tracking.cc:2167`).
+
+    Returns (n_matches (B,), success (B,), good (B, N), points1 (B, N, 3),
+    R21 (B, 3, 3), t21 (B, 3), idx (B, N)).
+    """
+    B = feats_all.xy.shape[0]
+    rays1 = cam_mod.unproject(cam, ref.xy)
+    fx = cam.fx
+
+    def one(feats, k):
+        d = M.hamming_matrix(ref.desc, feats.desc)
+        mm = M.match_nn(
+            d, ref.valid, feats.valid, max_dist=M.TH_LOW, ratio=0.9,
+            mutual=True, ang_a=ref.angle, ang_b=feats.angle,
+        )
+        idx = mm.idx
+        matched = idx >= 0
+        rays2 = cam_mod.unproject(cam, feats.xy[jnp.clip(idx, 0)])
+        res = reconstruct_two_views(
+            rays1, rays2, matched, k, err_thresh=3.84 / (fx * fx),
+        )
+        return (jnp.sum(matched), res.success, res.is_inlier,
+                res.points1, res.R21, res.t21, idx)
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(one)(feats_all, keys)
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
 def track_step(
     m: MS.MapArrays,
@@ -505,30 +544,13 @@ def _track_scan(m, xs, to_feats, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
     return m, Rs, ts, n_inls, feats_all, mp_feats
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
-def stereo_track_batch(
-    m: MS.MapArrays,
-    imgsL_u8: jnp.ndarray,      # (B, H, W) uint8 left
-    imgsR_u8: jnp.ndarray,      # (B, H, W) uint8 right
-    last_kf_slot: jnp.ndarray,
-    Rcw0: jnp.ndarray,
-    tcw0: jnp.ndarray,
-    vel0: tuple,
-    cam: cam_mod.Camera,
-    cfg: SlamConfig,
-    bf: float,
-    count_mask: jnp.ndarray | None = None,
-):
-    """Stereo throughput mode: B rectified pairs in ONE device dispatch.
+def _stereo_frontend(imgsL_u8, imgsR_u8, cam, cfg, bf):
+    """Batched left+right extraction + rectified SAD stereo matching.
 
-    The stereo analogue of :func:`track_batch` (round-2 verdict item #2):
-    left+right extraction runs as one (2B,)-wide batch — the batched form
-    of the reference's dual extraction threads (`src/Frame.cc:119-122`) —
-    the row-band SAD stereo matcher is vmapped over the batch, and tracking
-    scans with 3-row stereo observations.
-
-    Returns (m, Rs, ts, n_inls, featsL (B-leading), mp_feats (B, NF),
-    uvr (B, NF), depth (B, NF)).
+    Shared by the visual and visual-inertial batched trackers (the batched
+    form of the reference's dual extraction threads, `src/Frame.cc:119-122`,
+    plus ``Frame::ComputeStereoMatches`` `src/Frame.cc:794`).
+    Returns (featsL (B-leading), uvr (B, NF), depth (B, NF)).
     """
     from orb_slam3_noted_tpu.ops import image as image_ops
     from orb_slam3_noted_tpu.ops.stereo import match_stereo
@@ -559,7 +581,47 @@ def stereo_track_batch(
     )(featsL, featsR, pyrL, pyrR)
     uvr = jnp.where(sm.valid, sm.u_right, -1.0)
     depth = jnp.where(sm.valid, sm.depth, -1.0)
+    return featsL, uvr, depth
 
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def stereo_frontend_batch(
+    imgsL_u8: jnp.ndarray,
+    imgsR_u8: jnp.ndarray,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float,
+):
+    """Standalone jitted batched stereo frontend (see :func:`_stereo_frontend`)."""
+    return _stereo_frontend(imgsL_u8, imgsR_u8, cam, cfg, bf)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "bf"))
+def stereo_track_batch(
+    m: MS.MapArrays,
+    imgsL_u8: jnp.ndarray,      # (B, H, W) uint8 left
+    imgsR_u8: jnp.ndarray,      # (B, H, W) uint8 right
+    last_kf_slot: jnp.ndarray,
+    Rcw0: jnp.ndarray,
+    tcw0: jnp.ndarray,
+    vel0: tuple,
+    cam: cam_mod.Camera,
+    cfg: SlamConfig,
+    bf: float,
+    count_mask: jnp.ndarray | None = None,
+):
+    """Stereo throughput mode: B rectified pairs in ONE device dispatch.
+
+    The stereo analogue of :func:`track_batch` (round-2 verdict item #2):
+    left+right extraction runs as one (2B,)-wide batch — the batched form
+    of the reference's dual extraction threads (`src/Frame.cc:119-122`) —
+    the row-band SAD stereo matcher is vmapped over the batch, and tracking
+    scans with 3-row stereo observations.
+
+    Returns (m, Rs, ts, n_inls, featsL (B-leading), mp_feats (B, NF),
+    uvr (B, NF), depth (B, NF)).
+    """
+    featsL, uvr, depth = _stereo_frontend(imgsL_u8, imgsR_u8, cam, cfg, bf)
     m, Rs, ts, n_inls, feats_out, mp_feats = _track_scan(
         m, featsL, lambda f: f, last_kf_slot, Rcw0, tcw0, vel0, cam, cfg,
         bf, count_mask, uvr_all=uvr,

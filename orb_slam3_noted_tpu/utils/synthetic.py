@@ -164,3 +164,54 @@ def orbit_trajectory(n_frames, radius=0.8, forward=0.015, seed=1, yaw0=0.0):
         Rwc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, 0.0])))
         poses.append((Rwc, twc))
     return poses
+
+
+def smooth_pose(t, yaw0=0.45):
+    """Twice-differentiable camera-to-world pose at time ``t`` (seconds).
+
+    Used to synthesize consistent frames AND inertial measurements
+    (:func:`synth_imu`) for visual-inertial benchmarks/tests — the analogue
+    of an EuRoC hand-held trajectory segment.  The world is gravity-aligned
+    (gravity = -z); the body frame coincides with the camera frame.
+    """
+    from orb_slam3_noted_tpu.geometry import so3
+    import jax.numpy as jnp
+
+    twc = np.array([
+        0.45 * np.sin(0.55 * t),
+        0.12 * np.sin(1.1 * t),
+        0.14 * t + 0.05 * np.sin(0.9 * t),
+    ])
+    yaw = yaw0 + 0.10 * np.sin(0.7 * t)
+    pitch = 0.05 * np.sin(0.5 * t + 0.5)
+    roll = 0.03 * np.sin(0.8 * t)
+    Rwc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, roll])))
+    return Rwc, twc
+
+
+def synth_imu(t0, t1, hz=200.0, yaw0=0.45, gravity=9.81):
+    """Exact body-frame IMU samples for :func:`smooth_pose` over (t0, t1].
+
+    Central finite differences of the analytic trajectory; accelerometer
+    includes the reaction to gravity (the estimator must discover the
+    world's gravity direction).  Returns (acc (M, 3), gyr (M, 3), ts (M,)).
+    """
+    from orb_slam3_noted_tpu.geometry import so3
+    import jax.numpy as jnp
+
+    g = np.array([0.0, 0.0, -gravity])
+    eps = 1e-4
+    ts = np.arange(np.ceil(t0 * hz), np.floor(t1 * hz) + 1) / hz
+    ts = ts[(ts > t0 + 1e-12) & (ts <= t1 + 1e-12)]
+    acc, gyr = [], []
+    for t in ts:
+        Rwb, p = smooth_pose(t, yaw0)
+        _, pp = smooth_pose(t + eps, yaw0)
+        _, pm = smooth_pose(t - eps, yaw0)
+        a_w = (pp - 2 * p + pm) / (eps * eps)
+        Rwb_p, _ = smooth_pose(t + eps, yaw0)
+        w_b = np.asarray(so3.log(jnp.asarray(Rwb.T @ Rwb_p))) / eps
+        acc.append(Rwb.T @ (a_w - g))
+        gyr.append(w_b)
+    return (np.asarray(acc).reshape(-1, 3), np.asarray(gyr).reshape(-1, 3),
+            ts)

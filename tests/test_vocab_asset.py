@@ -1,0 +1,112 @@
+"""Shipped vocabulary asset + retrieval stress test (round-4 VERDICT #4).
+
+The round-3 verdict found the shipped ``vocab32k.npz`` was stale (no idf,
+old corpus).  These tests pin the contract: the asset ships idf weights,
+``load_default_vocabulary`` returns them, and the database built from the
+shipped vocabulary discriminates a true revisit from repeated-texture
+distractor scenes at 64-keyframe scale (reference ``DetectNBestCandidates``
+discrimination, `/root/reference/src/KeyFrameDatabase.cc:611-700`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_noted_tpu.models.cameras import Camera, PINHOLE
+from orb_slam3_noted_tpu.ops import orb as O
+from orb_slam3_noted_tpu.place.database import KeyFrameDatabase
+from orb_slam3_noted_tpu.place.pretrained import load_default_vocabulary
+from orb_slam3_noted_tpu.utils.synthetic import BoxRoom
+from orb_slam3_noted_tpu.geometry import so3
+
+W, H = 320, 240
+CAM = Camera(PINHOLE, (260.0, 260.0, W / 2 - 0.5, H / 2 - 0.5))
+NF = 500
+
+
+def test_shipped_vocabulary_has_idf():
+    vocab, idf = load_default_vocabulary()
+    assert vocab is not None, "vocab32k.npz asset missing"
+    assert vocab.shape[0] >= 30000 and vocab.shape[1] == 8
+    assert idf is not None, "idf weights not shipped (round-3 regression)"
+    assert idf.shape == (vocab.shape[0],)
+    assert np.all(idf > 0) and np.isfinite(idf).all()
+    # idf must vary across words (uniform weights defeat tf-idf scoring)
+    assert idf.std() > 0.05
+
+
+def _extract(img):
+    f = O.extract_orb(jnp.asarray(img, jnp.float32), n_features=NF)
+    return f.desc, f.valid
+
+
+def _view(room, rng, jitter=0.0, base=None):
+    if base is None:
+        twc = np.array([
+            rng.uniform(-0.8, 0.8), rng.uniform(-0.3, 0.3),
+            rng.uniform(0.0, room.depth * 0.35),
+        ])
+        rvec = rng.uniform(-0.3, 0.3, 3)
+    else:
+        twc = base[0] + jitter * rng.standard_normal(3)
+        rvec = base[1] + 0.3 * jitter * rng.standard_normal(3)
+    Rwc = np.asarray(so3.exp(jnp.asarray(rvec, jnp.float32)))
+    img = room.render(Rwc, twc, CAM.params, W, H)
+    return img, (twc, rvec)
+
+
+@pytest.mark.slow
+def test_retrieval_64kf_with_distractors():
+    vocab, idf = load_default_vocabulary()
+    assert vocab is not None and idf is not None
+    n_rooms, n_views = 8, 8
+    n_kf = n_rooms * n_views
+    db = KeyFrameDatabase(vocab, max_keyframes=n_kf, idf=idf)
+    rng = np.random.default_rng(11)
+    # repeated-texture distractors: same texture statistics in every room
+    rooms = [
+        BoxRoom(seed=50 + r, tex_scale=80.0, depth=6.0) for r in range(n_rooms)
+    ]
+    bases = {}
+    slot = 0
+    for r, room in enumerate(rooms):
+        for v in range(n_views):
+            img, base = _view(room, rng)
+            desc, valid = _extract(img)
+            _, bow = db.compute_bow(desc, valid)
+            db.add(slot, bow)
+            bases[(r, v)] = base
+            slot += 1
+
+    exclude = np.zeros(n_kf, bool)
+    # true revisits: re-render near stored poses; top-1 must be that slot
+    hits, revisit_scores = 0, []
+    probes = [(1, 2), (3, 5), (6, 1), (7, 7), (0, 4), (4, 6)]
+    for r, v in probes:
+        img, _ = _view(rooms[r], rng, jitter=0.03, base=bases[(r, v)])
+        desc, valid = _extract(img)
+        _, bow = db.compute_bow(desc, valid)
+        slots, scores = db.detect_candidates(bow, exclude, n_best=3)
+        revisit_scores.append(float(scores[0]))
+        if slots[0] == r * n_views + v:
+            hits += 1
+    assert hits >= len(probes) - 1, (
+        f"only {hits}/{len(probes)} revisits retrieved top-1"
+    )
+
+    # novel scenes (unseen seeds, same texture statistics): no stored KF may
+    # score anywhere near a true revisit — a false loop would pass to
+    # geometric verification and waste it, or worse
+    novel_scores = []
+    for s in range(6):
+        room = BoxRoom(seed=200 + s, tex_scale=80.0, depth=6.0)
+        img, _ = _view(room, rng)
+        desc, valid = _extract(img)
+        _, bow = db.compute_bow(desc, valid)
+        _, scores = db.detect_candidates(bow, exclude, n_best=3)
+        novel_scores.append(float(scores[0]))
+    rev = np.mean(revisit_scores)
+    nov = np.mean(novel_scores)
+    assert nov < 0.6 * rev, (
+        f"false-loop hazard: novel-scene score {nov:.3f} vs revisit {rev:.3f}"
+    )
