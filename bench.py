@@ -55,7 +55,9 @@ def main():
 
     B = 16  # frames per device dispatch (throughput mode)
 
-    def run_lap():
+    batch_walls = []  # per-dispatch wall times of the timed lap
+
+    def run_lap(record=False):
         # batched from frame 0: process_batch handles initialization with
         # batched two-view attempts (round-4 `_init_consume` — the per-frame
         # init retries were 31% of the round-3 bench wall)
@@ -63,7 +65,10 @@ def main():
         i = 0
         while i < n_frames:
             j = min(i + B, n_frames)
+            t0 = time.time()
             slam.process_batch(frames[i:j], list(range(i, j)))
+            if record:
+                batch_walls.append(time.time() - t0)
             i = j
         return slam
 
@@ -78,10 +83,19 @@ def main():
     StageTimer.enabled = True
     GLOBAL_TIMER.spans.clear()
     t0 = time.time()
-    slam = run_lap()
+    slam = run_lap(record=True)
     wall = time.time() - t0
     GLOBAL_TIMER.print_stats(file=sys.stderr)
     print(f"n_kf={slam.n_kf} n_mp={slam.n_mp}", file=sys.stderr)
+    if batch_walls:
+        bw = np.asarray(batch_walls[1:]) * 1000  # skip the init batch
+        if len(bw):
+            print(
+                "batch latency ms: p50=%.1f max=%.1f (max/p50=%.2f; loop "
+                "correction + time-sliced GBA ride inside these)"
+                % (np.median(bw), bw.max(), bw.max() / max(np.median(bw), 1e-9)),
+                file=sys.stderr,
+            )
 
     ok = sum(1 for r in slam.trajectory if r.state == "OK")
     fps = n_frames / wall

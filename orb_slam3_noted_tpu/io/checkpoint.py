@@ -109,6 +109,11 @@ def load_map(path: str, slam) -> None:
             # field added in round 3; older checkpoints carry no
             # second-camera observations
             fields[k] = jnp.full_like(jnp.asarray(z["map_kf_xy"]), -1.0)
+        elif k == "kf_parent":
+            # spanning tree added in round 4; older checkpoints fall back
+            # to roots (pose-graph edges then come from covisibility only)
+            KF = z["map_kf_valid"].shape[0]
+            fields[k] = jnp.full(KF, -1, jnp.int32)
         else:
             raise KeyError(f"checkpoint missing map field {k}")
     slam.m = MapArrays(**fields)

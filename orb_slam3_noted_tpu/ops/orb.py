@@ -144,6 +144,14 @@ def brief_descriptors(
     b = jnp.sin(angle)[:, None]
     p1 = jnp.asarray(_P1)
     p2 = jnp.asarray(_P2)
+    # Flat 1-D gather: a single-axis gather is ~20% faster than the 2-axis
+    # form on TPU (the 512-point gather is the hot spot of the whole
+    # extraction pipeline; see PROFILE_r04.md).  Comparisons stay on the
+    # f32 blur — OpenCV compares the rounded 8U blur, but rounding first
+    # measurably degrades association on depth-seeded maps (RGB-D max ATE
+    # 0.10 -> 0.147 m on the synthetic room), and the sub-LSB information
+    # is free here.
+    flat = img_blur.reshape(-1)
 
     def rotated_values(p):
         px, py = p[None, :, 0], p[None, :, 1]  # (1, 256)
@@ -151,7 +159,7 @@ def brief_descriptors(
         ry = jnp.round(px * b + py * a).astype(jnp.int32)
         gx = jnp.clip(xy[:, 0:1].astype(jnp.int32) + rx, 0, w - 1)
         gy = jnp.clip(xy[:, 1:2].astype(jnp.int32) + ry, 0, h - 1)
-        return img_blur[gy, gx]  # (K, 256) gather
+        return jnp.take(flat, gy * w + gx, axis=0)  # (K, 256) 1-D gather
 
     bits = (rotated_values(p1) < rotated_values(p2)).astype(jnp.uint32)  # (K, 256)
     k = bits.shape[0]

@@ -101,6 +101,19 @@ def reproj_residuals(
         # right-camera rows: x_r = Rrl x_c + trl, residual uv2 - proj2(x_r)
         # (reference two-camera EdgeMono with Tlr; joint 4-row residual so
         # both edges of a pair share one observation row)
+        #
+        # Two deliberate approximations vs the reference's independent
+        # right-camera edge (`src/Optimizer.cc` ToBody edges):
+        # (1) the right rows reuse the LEFT keypoint's inv_sigma2 — the
+        #     matched right feature's pyramid level is not stored in the
+        #     map tables; fisheye pairs are matched inside the lapping area
+        #     at similar scales, so the level mismatch is generally <=1
+        #     (<1.44x weight error);
+        # (2) right-ONLY observations (a landmark seen only by the second
+        #     camera) are not representable — every observation row is
+        #     anchored at a left feature.  The reference creates such
+        #     edges; dropping them loses a small fraction of fisheye
+        #     constraints near the right camera's exclusive field of view.
         xr = jnp.einsum("ij,oj->oi", Rrl, xc) + trl
         params2 = cam2.params_array(xc.dtype)
         if cam2.kind == cam_mod.PINHOLE:

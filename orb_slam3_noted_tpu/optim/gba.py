@@ -461,6 +461,135 @@ def full_map_problem(m, cfg, sample_stride: int = 1):
     )
 
 
+# ---------------------------------------------------------------------------
+# time-sliced GBA (round-4): the reference runs GBA in a transient thread so
+# tracking never stalls (`src/LoopClosing.cc:1090-1097`); a single chip has
+# one compute stream, so the TPU-native equivalent runs ONE LM step per
+# frame/batch boundary against a problem snapshot and write-backs deltas
+# when converged — bounding the per-frame latency hit to one LM step.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "bf", "cg_iters", "cam2"))
+def gba_step_jit(cam, Rcw, tcw, points, obs, prob, active, use_huber, lam,
+                 bf: float = 0.0, cg_iters: int = 64,
+                 cam2=None, Rrl=None, trl=None):
+    """One LM step of the matrix-free GBA engine (jitted, dispatchable as a
+    background slice between tracking dispatches)."""
+    return _gba_lm_step(
+        cam, Rcw, tcw, points, obs, prob, active, use_huber, lam, bf,
+        cg_iters, cam2=cam2, Rrl=Rrl, trl=trl,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "bf", "cam2"))
+def gba_reclassify(cam, Rcw, tcw, points, obs, bf: float = 0.0,
+                   cam2=None, Rrl=None, trl=None):
+    """Outlier re-classification between the Huber and plain phases."""
+    _, _, _, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw, tcw, points, obs, bf=bf, cam2=cam2, Rrl=Rrl, trl=trl,
+    )
+    return obs.valid & ok & (chi2 <= chi2_threshold(obs))
+
+
+@jax.jit
+def apply_gba_deltas(m, snapR, snapt, snapp, Rcw, tcw, points,
+                     kf_live, mp_live):
+    """Merge a finished GBA (run on a SNAPSHOT) into the live map.
+
+    delta = GBA_result - snapshot, added onto the live values: keyframes
+    and points refined by local BA SINCE the snapshot keep those
+    refinements (first-order composition) — the single-chip analogue of the
+    reference's spanning-tree correction propagation for keyframes created
+    during GBA (`src/LoopClosing.cc:2080-2161`).  ``kf_live``/``mp_live``
+    mask to entities that existed at snapshot time AND are still valid.
+    """
+    dR = jnp.where(kf_live[:, None, None], Rcw - snapR, 0.0)
+    dt = jnp.where(kf_live[:, None], tcw - snapt, 0.0)
+    dp = jnp.where(mp_live[:, None], points - snapp, 0.0)
+    Rn = m.kf_Rcw + dR
+    # re-orthonormalize the composed rotations (delta-add leaves the
+    # manifold; Gram-Schmidt via normalize)
+    from orb_slam3_noted_tpu.geometry import so3 as _so3
+
+    Rn = jnp.where(
+        kf_live[:, None, None], jax.vmap(_so3.normalize)(Rn), m.kf_Rcw
+    )
+    return m._replace(
+        kf_Rcw=Rn,
+        kf_tcw=m.kf_tcw + dt,
+        mp_pos=m.mp_pos + dp,
+    )
+
+
+class SlicedGBA:
+    """Host-side driver for time-sliced global BA over a map snapshot.
+
+    Usage: ``g = SlicedGBA(m, cam, cfg, bf)``; call ``g.step()`` at frame
+    boundaries (each is one dispatched LM slice, ~tens of ms); when
+    ``g.done``, ``m = g.finish(m_live)`` merges the deltas.
+    """
+
+    def __init__(self, m, cam, cfg, bf=0.0, n_iters=6, n_iters_final=4,
+                 cg_iters=48):
+        self.cam, self.bf, self.cg_iters = cam, bf, cg_iters
+        self.n_iters, self.n_iters_final = n_iters, n_iters_final
+        from orb_slam3_noted_tpu.pipeline.tracking import _second_camera
+
+        self.cam2, self.Rrl, self.trl = _second_camera(cfg)
+        self.prob = full_map_problem(m, cfg)
+        self.snapR = m.kf_Rcw
+        self.snapt = m.kf_tcw
+        self.snapp = m.mp_pos
+        self.snap_kf_valid = m.kf_valid
+        self.snap_mp_valid = m.mp_valid
+        self.snap_kf_fid = m.kf_frame_id  # recycled-slot guard
+        self.Rcw, self.tcw, self.points = m.kf_Rcw, m.kf_tcw, m.mp_pos
+        self.active = self.prob.obs.valid
+        self.lam = jnp.asarray(1e-4, m.kf_tcw.dtype)
+        self.i = 0
+        self.done = False
+
+    def step(self):
+        """Dispatch one LM slice (async; no host sync)."""
+        if self.done:
+            return
+        total = self.n_iters + self.n_iters_final
+        use_huber = jnp.asarray(self.i < self.n_iters)
+        self.Rcw, self.tcw, self.points, self.lam, _ = gba_step_jit(
+            self.cam, self.Rcw, self.tcw, self.points, self.prob.obs,
+            self.prob, self.active, use_huber, self.lam,
+            bf=self.bf, cg_iters=self.cg_iters,
+            cam2=self.cam2, Rrl=self.Rrl, trl=self.trl,
+        )
+        self.i += 1
+        if self.i == self.n_iters:
+            self.active = gba_reclassify(
+                self.cam, self.Rcw, self.tcw, self.points, self.prob.obs,
+                bf=self.bf, cam2=self.cam2, Rrl=self.Rrl, trl=self.trl,
+            )
+            self.lam = jnp.asarray(1e-4, self.tcw.dtype)
+        if self.i >= total:
+            self.done = True
+
+    def finish(self, m_live):
+        """Run any remaining slices, then merge deltas into the live map."""
+        while not self.done:
+            self.step()
+        # a slot recycled since the snapshot holds a DIFFERENT keyframe:
+        # frame ids must match for the delta to apply
+        kf_live = (
+            self.snap_kf_valid & m_live.kf_valid
+            & (m_live.kf_frame_id == self.snap_kf_fid)
+        )
+        mp_live = self.snap_mp_valid & m_live.mp_valid & (
+            ~self.prob.point_fixed
+        )
+        return apply_gba_deltas(
+            m_live, self.snapR, self.snapt, self.snapp,
+            self.Rcw, self.tcw, self.points, kf_live, mp_live,
+        )
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg", "bf", "n_iters",
                                    "n_iters_final", "cg_iters"))
 def run_global_ba(m, cam, cfg, bf: float = 0.0, n_iters: int = 8,

@@ -131,6 +131,11 @@ def merge_map_arrays(old: StoredMap, new_m, n_kf_new, n_mp_new, S_wold_wnew):
         out[k][sl_kf] = getattr(mn, k)[:n_kf_new]
     bind = mn.kf_mp[:n_kf_new]
     out["kf_mp"][sl_kf] = np.where(bind >= 0, bind + mp_off, -1)
+    out["kf_xy_r"][sl_kf] = mn.kf_xy_r[:n_kf_new]
+    # spanning tree: shift the incoming map's parents by the slot offset;
+    # roots keep -1 (the caller welds them onto the old map's tree)
+    par = mn.kf_parent[:n_kf_new]
+    out["kf_parent"][sl_kf] = np.where(par >= 0, par + kf_off, -1)
     out["obs_mat"][sl_kf, :] = False
     out["obs_mat"][sl_kf, mp_off:mp_off + n_mp_new] = mn.obs_mat[
         :n_kf_new, :n_mp_new
@@ -272,6 +277,17 @@ class AtlasSLAM:
         if out is None:
             return False
         merged, kf_off, n_kf, n_mp = out
+        # weld the spanning trees: the incoming map's root hangs off the
+        # matched old-map keyframe (the junction becomes a tree edge)
+        par = np.asarray(merged.kf_parent)
+        valid = np.asarray(merged.kf_valid)
+        roots = np.flatnonzero(
+            (par[kf_off:n_kf] == -1) & valid[kf_off:n_kf]
+        ) + kf_off
+        if len(roots):
+            merged = merged._replace(
+                kf_parent=merged.kf_parent.at[jnp.asarray(roots)].set(cand)
+            )
         # rebuild the active system on the merged map
         a.m = merged
         a.n_kf = n_kf
@@ -280,16 +296,111 @@ class AtlasSLAM:
         a.last_Rcw = merged.kf_Rcw[kf_off + slot]
         a.last_tcw = merged.kf_tcw[kf_off + slot]
         a.vel = None
-        a.loop_closer = None  # BoW db slots changed; rebuilt lazily
+        # snapshot for the remainder pose graph: edge measurements come
+        # from the pre-welding relative poses
+        m_pre = a.m
         # welding BA around the junction (reference MergeLocal welding window)
         a.m = T.local_ba(
             a.m, jnp.int32(kf_off + slot), a.cam, self.cfg,
             window=self.cfg.local_window, bf=self.cfg.bf,
         )
+        # essential-graph optimization over the non-welding remainder
+        # (reference `src/LoopClosing.cc:1107+` MergeLocal tail): the
+        # welding window is fixed at its BA-refined poses; tree+covis edges
+        # measured from the pre-BA snapshot pull the remainder along
+        self._remainder_pose_graph(a, m_pre, kf_off + slot)
+        # persistent place recognition: the merged system keeps BOTH maps'
+        # BoW rows (the reference's KFDB spans the whole Atlas,
+        # `src/KeyFrameDatabase.cc`); round-3 dropped them (loop_closer =
+        # None) so post-merge loop closure against pre-merge keyframes was
+        # impossible
+        a.loop_closer = self._merged_loop_closer(a, st, kf_off, a.n_kf - kf_off)
         del self.stored[si]
         self.merges += 1
         self._last_nkf = a.n_kf
         return True
+
+    # ------------------------------------------------------------------
+    def _remainder_pose_graph(self, a, m_pre, weld_slot: int):
+        from orb_slam3_noted_tpu.optim.pose_graph import (
+            Sim3Edges,
+            optimize_pose_graph_sim3,
+        )
+        from orb_slam3_noted_tpu.pipeline.loop_closing import _apply_correction
+
+        m = a.m
+        KF = m.kf_Rcw.shape[0]
+        kf_valid = np.asarray(m.kf_valid)
+        if kf_valid.sum() < 3:
+            return
+        parent = np.asarray(m.kf_parent)
+        covis = np.asarray(MS.covisibility_matrix(m))
+        child = np.flatnonzero(
+            (parent >= 0) & kf_valid & kf_valid[np.maximum(parent, 0)]
+        )
+        ei = list(child.astype(int))
+        ej = list(parent[child].astype(int))
+        ii, jj = np.nonzero(np.triu(covis) >= 20)
+        keep = kf_valid[ii] & kf_valid[jj]
+        ei += list(ii[keep].astype(int))
+        ej += list(jj[keep].astype(int))
+        if not ei:
+            return
+        i_arr = jnp.asarray(ei, jnp.int32)
+        j_arr = jnp.asarray(ej, jnp.int32)
+        s_all = jnp.ones(KF, m.kf_tcw.dtype)
+        # measurements from the PRE-welding snapshot
+        Si = (m_pre.kf_Rcw[i_arr], m_pre.kf_tcw[i_arr], s_all[i_arr])
+        Sj = (m_pre.kf_Rcw[j_arr], m_pre.kf_tcw[j_arr], s_all[j_arr])
+        Rr, tr, sr = jax.vmap(
+            lambda x, y: sim3.compose(y, sim3.inverse(x))
+        )(Si, Sj)
+        edges = Sim3Edges(
+            i=i_arr, j=j_arr, R=Rr, t=tr, s=sr,
+            weight=jnp.ones(len(ei), jnp.float32),
+            valid=jnp.ones(len(ei), bool),
+        )
+        _, weld_mask = MS.local_map_mask(
+            m, jnp.int32(weld_slot), n_neighbors=self.cfg.local_window
+        )
+        fixed = jnp.asarray(~kf_valid) | weld_mask
+        R_new, t_new, s_new, _ = optimize_pose_graph_sim3(
+            m.kf_Rcw, m.kf_tcw, s_all, edges, fixed
+        )
+        a.m = _apply_correction(m, R_new, t_new, s_new)
+
+    # ------------------------------------------------------------------
+    def _merged_loop_closer(self, a, st: StoredMap, kf_off: int,
+                            n_kf_new: int):
+        lc_old = a.loop_closer
+        if lc_old is None and st.db is None:
+            return None
+        vocab = np.asarray(st.db.vocab)
+        idf = st.db.idf
+        lc = LoopCloser(
+            vocab, self.cfg.max_keyframes,
+            enable_gba=getattr(lc_old, "enable_gba", True),
+            idf=np.asarray(idf) if idf is not None else None,
+        )
+        # old map's rows keep their slots
+        lc.db.bow_mat = st.db.bow_mat
+        lc.db.present = st.db.present.copy()
+        # active map's rows shift by kf_off (vocabularies match: both sides
+        # were built from the Atlas-wide vocabulary, like the reference's
+        # single ORBvoc)
+        if (
+            lc_old is not None
+            and lc_old.db.vocab.shape == st.db.vocab.shape
+        ):
+            occ = np.flatnonzero(lc_old.db.present)
+            occ = occ[occ < n_kf_new]
+            if len(occ):
+                lc.db.bow_mat = lc.db.bow_mat.at[
+                    jnp.asarray(occ + kf_off)
+                ].set(lc_old.db.bow_mat[jnp.asarray(occ)])
+                lc.db.present[occ + kf_off] = True
+        lc.db.present_dev = jnp.asarray(lc.db.present)
+        return lc
 
     # ------------------------------------------------------------------
     @property

@@ -135,6 +135,62 @@ class InertialMixin:
         self.last_t = None
         self.cur_vel = jnp.zeros(3, jnp.float32)
         self.frames_total = 0
+        # bad-IMU watchdog (reference `src/LocalMapping.cc:142-149`):
+        # accumulated "moving" init time; resets the map when the camera
+        # has not moved enough for inertial init to be observable
+        self._tinit_moving = 0.0
+
+    # -- robustness plumbing -------------------------------------------
+    def _check_timestamps(self, t):
+        """Timestamp-sanity handling (reference `src/Tracking.cc:1674-1712`).
+
+        Returns True when the frame stream broke and the map was reset —
+        the caller should fall through to (re)initialization with the
+        current frame.
+        """
+        if self.last_t is None or self.state == NOT_INITIALIZED:
+            return False
+        if t < self.last_t - 1e-9:
+            # clock went backwards: queued IMU is garbage; fresh map
+            # (reference clears mlQueueImuData + CreateMapInAtlas)
+            self._reset_inertial_map(save=False)
+            return True
+        if t > self.last_t + 1.0:
+            # >1 s gap at camera rate means lost data; the map survives
+            # only if VIBA2 already refined it (reference keeps the map and
+            # creates a new one iff GetIniertialBA2())
+            self._reset_inertial_map(save=self.imu_stage >= 3)
+            return True
+        return False
+
+    def _reset_inertial_map(self, save: bool):
+        """Reset the active map + inertial chain (reference ResetActiveMap /
+        CreateMapInAtlas).  ``save`` is an Atlas hook: the inertial Atlas
+        wrapper stores the map before resetting; plain systems drop it."""
+        if save and hasattr(self, "_store_active_map"):
+            self._store_active_map()
+        self.reset()
+        self._init_inertial(self.cfg)
+
+    def _check_bad_imu(self):
+        """Not-enough-motion watchdog (reference `src/LocalMapping.cc:
+        142-149`): after IMU init but before VIBA2, if the last three
+        keyframes moved < 2 cm in total, inertial init was unobservable —
+        reset the map.  Returns True when a reset happened."""
+        if not (1 <= self.imu_stage < 3) or len(self.kf_order) < 3:
+            return False
+        sl = self.kf_order[-3:]
+        R = np.asarray(self.m.kf_Rcw[jnp.asarray(sl)])
+        tt = np.asarray(self.m.kf_tcw[jnp.asarray(sl)])
+        centers = np.einsum("kji,kj->ki", R, -tt)
+        dist = (np.linalg.norm(centers[2] - centers[1])
+                + np.linalg.norm(centers[1] - centers[0]))
+        if dist > 0.05:
+            self._tinit_moving += self.kf_times[-1] - self.kf_times[-2]
+        if self._tinit_moving < 10.0 and dist < 0.02:
+            self._reset_inertial_map(save=False)
+            return True
+        return False
 
     # -- raw sample ingestion ------------------------------------------
     def feed_imu(self, acc, gyr, ts):
@@ -441,6 +497,7 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
     # process(img, t, acc, gyr, imu_t): batched IMU samples since last frame
     def process(self, img, frame_id, t=None, acc=None, gyr=None, imu_t=None):
         t = float(frame_id) / self.cfg.fps if t is None else float(t)
+        self._check_timestamps(t)  # on a broken stream: reset, re-init below
         if acc is not None:
             self.feed_imu(acc, gyr, imu_t)
         self._accumulate_interval(t)
@@ -584,6 +641,7 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
         self._chain_ba(window=self.cfg.inertial_window)
         self.bias = Bias(self.ki.bg[slot], self.ki.ba[slot])
         self.cur_vel = self.ki.vel[slot]
+        self._check_bad_imu()
 
 
 class StereoInertialSLAM(MonoInertialSLAM):
@@ -602,6 +660,7 @@ class StereoInertialSLAM(MonoInertialSLAM):
         from orb_slam3_noted_tpu.ops.stereo import match_stereo
 
         t = float(frame_id) / self.cfg.fps if t is None else float(t)
+        self._check_timestamps(t)  # on a broken stream: reset, re-init below
         if acc is not None:
             self.feed_imu(acc, gyr, imu_t)
         self._accumulate_interval(t)
@@ -707,6 +766,14 @@ class StereoInertialSLAM(MonoInertialSLAM):
         tree = jax.tree_util.tree_map
         pos = 0
         while pos < B:
+            if self.state == NOT_INITIALIZED or self.imu_stage == 0:
+                # a mid-walk reset (bad IMU / timestamp jump) dropped the
+                # inertial chain: finish the batch per-frame
+                for j in range(pos, B):
+                    self.process(imgs[i + j][0], imgs[i + j][1], ids[j],
+                                 t=tss[j])
+                pos = B
+                break
             anchor_slot = self.kf_order[-1]
             t_kf = self.kf_times[-1]
             # per-frame resampled IMU spans anchor -> frame_j, rolled so the
@@ -780,7 +847,8 @@ class StereoInertialSLAM(MonoInertialSLAM):
                 pos = k_kf + 1
         # leave the incremental accumulators consistent for any subsequent
         # per-frame processing
-        self.since_kf = self.imu.interval(self.kf_times[-1], tss[-1])
+        if self.kf_times:
+            self.since_kf = self.imu.interval(self.kf_times[-1], tss[-1])
         self.last_t = tss[-1]
         self._cur_time = tss[-1]
         return self.trajectory[-1]

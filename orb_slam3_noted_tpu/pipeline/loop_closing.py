@@ -122,6 +122,45 @@ class LoopCloser:
         self.consistent_groups: list[tuple[set, int]] = []
         self.loops_closed = 0
         self.last_loop_kf = -1
+        # persistent loop edges: once a loop (slot, cand) is accepted it
+        # stays a pose-graph constraint in every later correction
+        # (reference ``KeyFrame::AddLoopEdge``)
+        self.loop_edges: list[tuple[int, int]] = []
+        # in-flight time-sliced GBA (single-chip analogue of the
+        # reference's GBA thread); advanced by ``service_gba``
+        self.active_gba = None
+        # temporal Sim3 path state (`DetectAndReffineSim3FromLastKF`,
+        # `src/LoopClosing.cc:497`): a geometrically verified but not yet
+        # accepted loop hypothesis; the next keyframe refines it by
+        # PROJECTION from the propagated guess, skipping BoW entirely
+        self.pending = None  # dict(cand, slot, R, t, s, hits)
+
+    # ------------------------------------------------------------------
+    def service_gba(self, slam, n_steps: int = 1):
+        """Advance the in-flight GBA by up to ``n_steps`` LM slices; merge
+        deltas into the live map when it converges.  Called by the system
+        at frame boundaries — the single-chip replacement for the
+        reference's background GBA thread + abort protocol."""
+        g = self.active_gba
+        if g is None:
+            return False
+        for _ in range(n_steps):
+            if g.done:
+                break
+            g.step()
+        if g.done:
+            slam.m = g.finish(slam.m)
+            self.active_gba = None
+            return True
+        return False
+
+    def finish_gba(self, slam):
+        """Drain the in-flight GBA completely (flush semantics)."""
+        if self.active_gba is not None:
+            slam.m = self.active_gba.finish(slam.m)
+            self.active_gba = None
+            return True
+        return False
 
     # ------------------------------------------------------------------
     def on_keyframe(self, slam, slot: int):
@@ -213,6 +252,17 @@ class LoopCloser:
 
     def _finish_one(self, slam, slot, slots_np, covis_np, kf_valid) -> bool:
         m = slam.m
+
+        # --- temporal path (`DetectAndReffineSim3FromLastKF`,
+        # `src/LoopClosing.cc:497-553`): a pending geometrically verified
+        # hypothesis is refined by projection from the propagated Sim3
+        # guess — no BoW query, no RANSAC ---
+        if self.pending is not None and kf_valid[self.pending["cand"]]:
+            hit = self._refine_pending(slam, slot)
+            if hit is not None:
+                return hit
+        self.pending = None
+
         slots = [int(s) for s in slots_np[slots_np >= 0] if kf_valid[s]]
         if not slots:
             self.consistent_groups = []
@@ -220,8 +270,19 @@ class LoopCloser:
         covis_rows = covis_np[np.asarray(slots)]
 
         # --- temporal consistency: a candidate place must be re-detected in
-        # `consistency_th` consecutive keyframes (groups linked by
-        # covisibility), before geometric verification is allowed ---
+        # consecutive keyframes (groups linked by covisibility) before it
+        # may correct the map.  With camera context the LAST consistency
+        # hit is replaced by the geometric temporal path: the ladder runs
+        # one sighting earlier and the final confirmation is a projection
+        # refine from the propagated Sim3 (reference ORB-SLAM3 counts
+        # Sim3-verified coincidences, `src/LoopClosing.cc:356-439`). ---
+        have_cam = (
+            getattr(slam, "cam", None) is not None
+            and getattr(slam, "cfg", None) is not None
+        )
+        geo_gate = (
+            self.consistency_th - 1 if have_cam else self.consistency_th
+        )
         new_groups: list[tuple[set, int]] = []
         verified_cands: list[int] = []
         for ci, cand in enumerate(slots):
@@ -235,7 +296,7 @@ class LoopCloser:
             # accept once the chain length reaches the threshold — matches
             # the reference accumulation exactly (nCurrentConsistency starts
             # at 0 on first sight; `src/LoopClosing.cc:400-430`)
-            if count >= self.consistency_th:
+            if count >= geo_gate:
                 verified_cands.append(cand)
         self.consistent_groups = new_groups
         if not verified_cands:
@@ -255,14 +316,12 @@ class LoopCloser:
             # 3D-3D RANSAC fit alone can pass on geometry whose image
             # observations disagree (wrong loop).  Skipped for harnesses
             # without camera context (test scaffolds).
-            cam = getattr(slam, "cam", None)
-            cfg = getattr(slam, "cfg", None)
-            if cam is not None and cfg is not None:
+            if have_cam:
                 from orb_slam3_noted_tpu.optim.sim3_opt import sim3_refine
 
                 ref = sim3_refine(
                     m, jnp.int32(slot), jnp.int32(cand),
-                    res.R, res.t, res.s, cam, cfg,
+                    res.R, res.t, res.s, slam.cam, slam.cfg,
                     seed_idx=idx_cand, seed_ok=ok & res.inliers,
                 )
                 n_ok, success, n_inl, rn_inl, rR, rt, rs = jax.device_get((
@@ -281,6 +340,14 @@ class LoopCloser:
                     t=jnp.asarray(rt), s=jnp.asarray(rs),
                     inliers=res.inliers, n_inliers=jnp.asarray(int(rn_inl)),
                 )
+                if 1 < max(self.consistency_th - 1, 1):
+                    # verified but not yet ripe: hand over to the temporal
+                    # path — the next keyframe confirms by projection
+                    self.pending = dict(
+                        cand=cand, slot=slot, R=res.R, t=res.t, s=res.s,
+                        hits=1,
+                    )
+                    return False
             else:
                 n_ok, success, n_inl = jax.device_get(
                     (jnp.sum(ok), res.success, res.n_inliers)
@@ -291,12 +358,70 @@ class LoopCloser:
                     or int(n_inl) < self.min_inliers
                 ):
                     continue
-            self._correct(slam, slot, cand, res,
-                          covis=covis_np)
-            self.loops_closed += 1
-            self.last_loop_kf = slot
-            self.consistent_groups = []
+            self._accept(slam, slot, cand, res, covis_np)
             return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _accept(self, slam, slot, cand, res, covis=None):
+        """Run the correction and record the accepted loop."""
+        self._correct(slam, slot, cand, res, covis=covis)
+        self.loop_edges.append((slot, cand))
+        self.loops_closed += 1
+        self.last_loop_kf = slot
+        self.consistent_groups = []
+        self.pending = None
+
+    # ------------------------------------------------------------------
+    def _refine_pending(self, slam, slot) -> bool | None:
+        """`DetectAndReffineSim3FromLastKF` (`src/LoopClosing.cc:497-553`):
+        refine the pending loop hypothesis against the current keyframe by
+        projecting with the propagated Sim3 guess — no BoW, no RANSAC.
+
+        Returns True (loop accepted+corrected), False (hypothesis advanced,
+        BoW skipped this keyframe), or None (refine failed — hypothesis
+        dropped, caller falls back to the BoW path).
+        """
+        cam = getattr(slam, "cam", None)
+        cfg = getattr(slam, "cfg", None)
+        if cam is None or cfg is None:
+            return None
+        from orb_slam3_noted_tpu.geometry import sim3 as sim3_mod
+        from orb_slam3_noted_tpu.optim.sim3_opt import sim3_refine
+
+        m = slam.m
+        p = self.pending
+        # propagate through the relative motion since the hypothesis' KF:
+        # S_new = (T_new o T_prev^-1) o S_prev
+        Rn, tn = m.kf_Rcw[slot], m.kf_tcw[slot]
+        Rp, tp = m.kf_Rcw[p["slot"]], m.kf_tcw[p["slot"]]
+        R_rel = jnp.einsum("ij,kj->ik", Rn, Rp, precision=_HP)
+        t_rel = tn - R_rel @ tp
+        one = jnp.asarray(1.0, tn.dtype)
+        Rg, tg, sg = sim3_mod.compose(
+            (R_rel, t_rel, one), (p["R"], p["t"], p["s"])
+        )
+        ref = sim3_refine(
+            m, jnp.int32(slot), jnp.int32(p["cand"]), Rg, tg, sg, cam, cfg
+        )
+        n_inl, rR, rt, rs = jax.device_get(
+            (ref.n_inliers, ref.R, ref.t, ref.s)
+        )
+        if int(n_inl) < self.sim3_min_inliers:
+            return None
+        hits = p["hits"] + 1
+        res = Sim3Result(
+            success=jnp.asarray(True), R=jnp.asarray(rR),
+            t=jnp.asarray(rt), s=jnp.asarray(rs),
+            inliers=jnp.zeros(m.kf_xy.shape[1], bool),
+            n_inliers=jnp.asarray(int(n_inl)),
+        )
+        if hits >= max(self.consistency_th - 1, 1):
+            self._accept(slam, slot, p["cand"], res)
+            return True
+        self.pending = dict(
+            cand=p["cand"], slot=slot, R=res.R, t=res.t, s=res.s, hits=hits,
+        )
         return False
 
     # ------------------------------------------------------------------
@@ -304,23 +429,33 @@ class LoopCloser:
         m = slam.m
         KF = m.kf_Rcw.shape[0]
         kf_valid = np.asarray(m.kf_valid)
-        n_kf = slam.n_kf
 
-        # --- build edge list (numpy host side; covis computed on device) ---
+        # --- build edge list (vectorized numpy; covis computed on device) ---
         if covis is None:
             from orb_slam3_noted_tpu.pipeline import map_state as MS
 
             covis = np.asarray(MS.covisibility_matrix(m))
-        ei, ej = [], []
-        # sequential chain (spanning-tree stand-in)
-        for k in range(n_kf - 1):
-            if kf_valid[k] and kf_valid[k + 1]:
-                ei.append(k); ej.append(k + 1)
-        # covisibility edges above threshold
-        ii, jj = np.nonzero(np.triu(covis, 2) >= self.covis_edge_weight)
-        for a, b in zip(ii, jj):
-            if kf_valid[a] and kf_valid[b] and a < n_kf and b < n_kf:
-                ei.append(int(a)); ej.append(int(b))
+        # spanning-tree edges (reference essential graph: tree + strong
+        # covisibility + loop edges, `src/Optimizer.cc:2083`); the tree is
+        # maintained at insertion/culling so it stays correct when recycled
+        # slots break temporal slot order
+        parent = np.asarray(m.kf_parent)
+        child = np.flatnonzero(
+            (parent >= 0) & kf_valid & kf_valid[np.maximum(parent, 0)]
+        )
+        ei = list(child.astype(int))
+        ej = list(parent[child].astype(int))
+        # strong covisibility edges
+        cv = np.asarray(covis)
+        ii, jj = np.nonzero(np.triu(cv) >= self.covis_edge_weight)
+        keep = kf_valid[ii] & kf_valid[jj]
+        ei += list(ii[keep].astype(int))
+        ej += list(jj[keep].astype(int))
+        # previous loop edges persist across corrections (reference
+        # ``KeyFrame::AddLoopEdge``, `include/KeyFrame.h:108-113`)
+        for a, b in self.loop_edges:
+            if kf_valid[a] and kf_valid[b]:
+                ei.append(a); ej.append(b)
         n_real = len(ei)
 
         # measurements from CURRENT (drifted) estimates: S_ji = T_j * T_i^-1
@@ -379,13 +514,13 @@ class LoopCloser:
         # "<200 KFs" escape hatch is needed
         if self.enable_gba and getattr(slam, "cfg", None) is not None:
             from orb_slam3_noted_tpu.optim.gba import (
-                run_global_ba, run_global_ba_mesh,
+                SlicedGBA, run_global_ba_mesh,
             )
 
             if jax.device_count() > 1:
                 # mesh-sharded GBA over ICI when a multi-device slice is
                 # attached (BASELINE.json north star); single chip uses the
-                # one-dispatch matrix-free engine
+                # time-sliced engine below
                 from orb_slam3_noted_tpu.parallel.dist_ba import make_mesh
 
                 slam.m, _ = run_global_ba_mesh(
@@ -393,10 +528,15 @@ class LoopCloser:
                     bf=slam.cfg.bf, n_iters=6, n_iters_final=4,
                 )
             else:
-                slam.m, _ = run_global_ba(
+                # time-sliced GBA (round-4): the reference's GBA thread
+                # becomes one LM slice per frame boundary — tracking
+                # resumes immediately after the pose graph; deltas merge
+                # at convergence (``service_gba``/``finish``)
+                self.active_gba = SlicedGBA(
                     slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
                     n_iters=6, n_iters_final=4,
                 )
+                self.active_gba.step()  # first slice rides this dispatch
         # tracking state continues from the corrected pose of the current KF
         slam.last_Rcw = slam.m.kf_Rcw[slot]
         slam.last_tcw = slam.m.kf_tcw[slot]

@@ -42,6 +42,11 @@ class MapArrays(NamedTuple):
     # non-rectified second-camera observation (fisheye stereo): matched
     # right-camera pixel per left feature, (-1,-1) = none
     kf_xy_r: jnp.ndarray       # (KF, NF, 2) float32
+    # spanning tree (reference `include/KeyFrame.h:99-105`): parent = the
+    # strongest-covisibility keyframe at insertion; -1 = root.  Pose-graph
+    # edges and culled-reference trajectory recovery use this instead of
+    # slot order (slot order != time order once slots recycle)
+    kf_parent: jnp.ndarray     # (KF,) int32
 
     # map points
     mp_pos: jnp.ndarray        # (MP, 3)
@@ -74,6 +79,7 @@ def empty_map(cfg: SlamConfig, dtype=jnp.float32) -> MapArrays:
         kf_mp=jnp.full((KF, NF), -1, jnp.int32),
         kf_uvr=jnp.full((KF, NF), -1.0, dtype),
         kf_xy_r=jnp.full((KF, NF, 2), -1.0, dtype),
+        kf_parent=jnp.full(KF, -1, jnp.int32),
         mp_pos=jnp.zeros((MP, 3), dtype),
         mp_valid=jnp.zeros(MP, bool),
         mp_desc=jnp.zeros((MP, 8), jnp.uint32),
@@ -129,7 +135,25 @@ def add_keyframe(
         obs_mat=m.obs_mat.at[slot].set(row),
         mp_nobs=m.mp_nobs.at[mp_idx].add(bound.astype(jnp.int32)),
     )
-    return m
+    # spanning-tree parent = strongest covisible existing keyframe
+    # (reference ``KeyFrame::UpdateConnections`` -> ChangeParent); computed
+    # from the freshly written observation row, -1 when nothing is shared
+    # (e.g. the first keyframe, or bindings added later — see
+    # :func:`refresh_parent`)
+    w = covisibility_weights(m, slot)
+    parent = jnp.where(jnp.max(w) > 0, jnp.argmax(w).astype(jnp.int32), -1)
+    return m._replace(kf_parent=m.kf_parent.at[slot].set(parent))
+
+
+@jax.jit
+def refresh_parent(m: MapArrays, slot: jnp.ndarray) -> MapArrays:
+    """Recompute `slot`'s spanning-tree parent from current covisibility.
+
+    For keyframes whose bindings were created AFTER insertion (the
+    two-view initializer binds via ``add_map_points``)."""
+    w = covisibility_weights(m, slot)
+    parent = jnp.where(jnp.max(w) > 0, jnp.argmax(w).astype(jnp.int32), -1)
+    return m._replace(kf_parent=m.kf_parent.at[slot].set(parent))
 
 
 @jax.jit
@@ -302,21 +326,34 @@ def update_point_stats(
     seg = jnp.where(row_ok, mp_c, MP)  # invalid rows -> scratch segment
 
     # --- distinctive descriptor ---
+    # Processed one 32-bit word at a time: unpacking ALL 256 bits at once
+    # costs (KF*NF, 256) f32 — ~315 MB at the configured 256 KF x 1200
+    # feature capacity, inside the fused mapper dispatch (round-4 fix).
+    # Chunked, the peak transient is (KF*NF, 32) ~ 39 MB.
     desc = m.kf_desc.reshape(KF * NF, 8)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
-    bits = bits.reshape(KF * NF, 256).astype(jnp.float32)
     n_obs = jax.ops.segment_sum(
         row_ok.astype(jnp.float32), seg, num_segments=MP + 1
     )[:MP]
-    c = jax.ops.segment_sum(
-        bits * row_ok[:, None], seg, num_segments=MP + 1
-    )[:MP]  # (MP, 256) per-bit set counts
+
+    def word_bits(w):
+        return (
+            (desc[:, w, None] >> shifts[None, :]) & jnp.uint32(1)
+        ).astype(jnp.float32)  # (KF*NF, 32)
+
+    c_words = []
+    for w in range(8):
+        c_words.append(jax.ops.segment_sum(
+            word_bits(w) * row_ok[:, None], seg, num_segments=MP + 1
+        )[:MP])  # (MP, 32) per-bit set counts
     # score_o = sum_j a_j (n - c_j) + (1 - a_j) c_j = sum(c) + sum_j a_j (n - 2 c_j)
-    base = jnp.sum(c, axis=1)
-    sc = base[mp_c] + jnp.einsum(
-        "ob,ob->o", bits, (n_obs[mp_c, None] - 2.0 * c[mp_c])
-    )
+    base = sum(jnp.sum(cw, axis=1) for cw in c_words)
+    sc = base[mp_c]
+    for w in range(8):
+        sc = sc + jnp.einsum(
+            "ob,ob->o", word_bits(w),
+            (n_obs[mp_c, None] - 2.0 * c_words[w][mp_c]),
+        )
     sc = jnp.where(row_ok, sc, jnp.inf)
     best = jnp.full((MP + 1,), jnp.inf).at[seg].min(sc)[:MP]
     is_best = row_ok & (sc == best[mp_c])
@@ -430,12 +467,27 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
     new_ref = jnp.argmax(obs_mat, axis=0).astype(jnp.int32)  # first observer
     has_obs = jnp.any(obs_mat, axis=0)
     mp_ref_kf = jnp.where(ref_dead & has_obs, new_ref, m.mp_ref_kf)
+    # spanning tree: children of a culled keyframe re-parent to the culled
+    # node's own parent (reference ``KeyFrame::SetBadFlag`` reassigns
+    # children into the surviving tree).  Pointer-jump a few rounds so a
+    # chain of culled ancestors collapses in one dispatch; a fully culled
+    # ancestry becomes a root (-1).
+    kf_parent = m.kf_parent
+    for _ in range(4):
+        p_idx = jnp.clip(kf_parent, 0)
+        parent_dead = (kf_parent >= 0) & ~kf_valid[p_idx]
+        kf_parent = jnp.where(parent_dead, kf_parent[p_idx], kf_parent)
+    p_idx = jnp.clip(kf_parent, 0)
+    kf_parent = jnp.where(
+        (kf_parent >= 0) & ~kf_valid[p_idx], -1, kf_parent
+    )
     return m._replace(
         kf_valid=kf_valid,
         mp_nobs=m.mp_nobs - dec_final,
         obs_mat=obs_mat,
         kf_mp=jnp.where(cull[:, None], -1, m.kf_mp),
         mp_ref_kf=mp_ref_kf,
+        kf_parent=kf_parent,
     )
 
 

@@ -74,6 +74,7 @@ class MonoSLAM:
         # lifecycle): refilled from the kf_valid pulls at loop-detect
         # boundaries, or on demand when the monotone allocator is exhausted
         self.free_kf_slots: list[int] = []
+        self._dead_slots: set[int] = set()  # culled slots already fixed up
         self._refill_cooldown = 0
         self.kf_inserted = 0        # total keyframe insertions (incl. recycled)
         self.state = NOT_INITIALIZED
@@ -128,12 +129,46 @@ class MonoSLAM:
             pendings, self._pending_loops = self._pending_loops, []
             if self.loop_closer.finish_detect_many(self, pendings):
                 self.state = OK
+        if self.loop_closer is not None:
+            self.loop_closer.finish_gba(self)
         return self
+
+    def _service_background(self):
+        """One time-slice of deferred heavy work (in-flight GBA) per frame
+        boundary — the single-chip stand-in for the reference's background
+        GBA thread (`src/LoopClosing.cc:1090-1097`)."""
+        if self.loop_closer is not None:
+            self.loop_closer.service_gba(self, n_steps=1)
 
     # ------------------------------------------------------------------
     def _refill_free_slots(self, kf_valid: np.ndarray):
-        """Recompute the recycled-slot list from a fresh kf_valid pull."""
+        """Recompute the recycled-slot list from a fresh kf_valid pull.
+
+        Before a slot may be recycled, every trajectory record anchored to
+        it is converted to an absolute pose using the culled keyframe's
+        final pose (the equivalent of the reference's spanning-tree walk in
+        ``SaveTrajectoryTUM``, `src/System.cc:461-467` — a record must
+        never compose with a RECYCLED slot's new occupant)."""
         dead = np.flatnonzero(~np.asarray(kf_valid)[: self.n_kf])
+        newly_dead = [
+            int(s) for s in dead
+            if s != self.last_kf_slot and int(s) not in self._dead_slots
+        ]
+        if newly_dead:
+            refs = {r.ref_slot for r in self.trajectory if r.ref_slot >= 0}
+            fixup = [s for s in newly_dead if s in refs]
+            if fixup:
+                sl = jnp.asarray(np.asarray(fixup, np.int32))
+                Rk, tk = jax.device_get((self.m.kf_Rcw[sl], self.m.kf_tcw[sl]))
+                pose = {s: (Rk[k], tk[k]) for k, s in enumerate(fixup)}
+                for r in self.trajectory:
+                    if r.ref_slot in pose:
+                        Rr, tr = pose[r.ref_slot]
+                        r.Rcw = r.rel_R @ Rr
+                        r.tcw = r.rel_R @ tr + r.rel_t
+                        r.ref_slot = -1
+                        r.rel_R = r.rel_t = None
+            self._dead_slots.update(newly_dead)
         self.free_kf_slots = [
             int(s) for s in dead if s != self.last_kf_slot
         ]
@@ -145,7 +180,9 @@ class MonoSLAM:
             self.n_kf += 1
             return slot
         if self.free_kf_slots:
-            return self.free_kf_slots.pop(0)
+            slot = self.free_kf_slots.pop(0)
+            self._dead_slots.discard(slot)  # slot gets a new occupant
+            return slot
         return None
 
     def _can_insert_kf(self) -> bool:
@@ -223,6 +260,7 @@ class MonoSLAM:
         self._pending_loops = []
         self.kf_frame_ids = np.full(cfg.max_keyframes, -1, np.int64)
         self.free_kf_slots = []
+        self._dead_slots = set()
         self._refill_cooldown = 0
         self.state = NOT_INITIALIZED
         self.ref_feats = None
@@ -254,6 +292,7 @@ class MonoSLAM:
         """Feed one grayscale image (H, W), values in [0, 255]."""
         if self._pending_loops:
             self.flush()
+        self._service_background()
         if self.state == NOT_INITIALIZED:
             with TIMER.stage("initialize"):
                 feats = O.extract_orb(
@@ -352,6 +391,7 @@ class MonoSLAM:
         """
         if self._pending_loops:
             self.flush()
+        self._service_background()
         cfg = self.cfg
         i = 0
         while self.state == NOT_INITIALIZED and i < len(imgs):
@@ -642,6 +682,8 @@ class MonoSLAM:
         self.n_kf = 2
         self.kf_frame_ids[0] = int(self.ref_frame_id)
         self.kf_frame_ids[1] = int(frame_id)
+        # KF1's bindings were created after insertion: fix its tree parent
+        m = MS.refresh_parent(m, jnp.int32(1))
         # full BA over the initial map (reference GlobalBundleAdjustemnt(20))
         m = T.local_ba(m, jnp.int32(1), self.cam, cfg, window=1)
         self.m = m
@@ -809,6 +851,10 @@ class MonoSLAM:
         # away before the allocator runs out (last-known fill level; the
         # pointer refreshes with each batch's bulk pull)
         if self._n_mp > 0.85 * cfg.max_map_points:
+            # compaction permutes point slots: any in-flight sliced GBA
+            # holds snapshot indices — drain it first
+            if self.loop_closer is not None:
+                self.loop_closer.finish_gba(self)
             self.m, n_mp_dev, inv = MS.compact_map_points(self.m)
             self._n_mp_pending = n_mp_dev
             mp_of_feat = MS.remap_point_bindings(mp_of_feat, inv)

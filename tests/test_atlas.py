@@ -53,6 +53,8 @@ def test_atlas_switch_and_merge():
     assert len(atlas.stored) == 1, "old map was not stored"
     assert atlas.stored[0].n_kf == n_kf_a
 
+    n_db_a = int(atlas.stored[0].db.present.sum())  # valid (unculled) KFs
+
     # revisit previously mapped viewpoints: new map initializes, then merges
     for k in range(6, 20):
         atlas.process(frames[k], i)
@@ -62,3 +64,24 @@ def test_atlas_switch_and_merge():
     assert atlas.merges == 1, "revisit did not merge the maps"
     assert atlas.n_maps == 1
     assert atlas.active.n_kf > n_kf_a, "merged map lost keyframes"
+    # round-4: place recognition history survives the merge — the merged
+    # loop closer's database must still hold the PRE-merge map's keyframes
+    # (reference: the KFDB spans the whole Atlas; round-3 dropped it)
+    lc = atlas.active.loop_closer
+    assert lc is not None, "merged system lost its loop closer"
+    assert lc.db.present[:n_kf_a].sum() >= n_db_a, (
+        "pre-merge keyframes missing from the merged BoW database"
+    )
+    # a query rendered at a pre-merge viewpoint must retrieve a pre-merge
+    # keyframe (post-merge loop closure against old-map history)
+    import jax.numpy as jnp
+    from orb_slam3_noted_tpu.ops import orb as O
+
+    q = O.extract_orb(jnp.asarray(frames[2], jnp.float32), n_features=600)
+    _, bow = lc.db.compute_bow(q.desc, q.valid)
+    slots, scores = lc.db.detect_candidates(
+        bow, np.zeros(cfg.max_keyframes, bool), n_best=3, min_rel_score=0.5,
+    )
+    assert any(s < n_kf_a for s in slots), (
+        f"pre-merge keyframes unreachable by place recognition: {slots}"
+    )
