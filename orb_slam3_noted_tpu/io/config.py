@@ -50,7 +50,9 @@ class SlamConfig:
     kf_max_interval: int = 30        # force KF after this many frames
     kf_tracked_ratio: float = 0.9    # new KF when tracked < ratio * ref visible
     local_window: int = 10           # covisible KFs for local map / local BA
-    triangulate_neighbors: int = 8   # covisible KFs matched for new points
+    triangulate_neighbors: int = 10  # covisible KFs matched for new points
+    # (reference CreateNewMapPoints covers 10 for mono / 20 visual-only
+    # neighbours, `src/LocalMapping.cc:402-422`)
     # re-track the rest of a batch after a mid-batch keyframe (tighter than
     # the reference, whose tracking keeps using the pre-KF map until the
     # async mapper lands; costs a second dispatch per keyframe)

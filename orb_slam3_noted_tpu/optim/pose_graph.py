@@ -49,7 +49,7 @@ def _residual_tangent(Sm, Si, Sj, di, dj):
     return _edge_residual(Sm, Si2, Sj2)
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
 def optimize_pose_graph_sim3(
     R: jnp.ndarray,       # (K, 3, 3) S_iw rotations (world -> kf)
     t: jnp.ndarray,       # (K, 3)
@@ -58,8 +58,14 @@ def optimize_pose_graph_sim3(
     fixed: jnp.ndarray,   # (K,) bool (e.g. the loop keyframe / map origin)
     n_iters: int = 12,
     lam: float = 1e-6,
+    fix_scale: bool = False,
 ):
-    """Damped Gauss-Newton over the Sim3 pose graph. Returns (R, t, s, cost)."""
+    """Damped Gauss-Newton over the Sim3 pose graph. Returns (R, t, s, cost).
+
+    ``fix_scale=True`` zeroes the log-scale component of every update — the
+    6-DoF essential-graph variant the reference uses when scale is directly
+    observable (stereo/RGB-D: ``OptimizeEssentialGraph6DoF``,
+    `/root/reference/src/Optimizer.cc:2373`)."""
     K = R.shape[0]
     dtype = t.dtype
     z7 = jnp.zeros(7, dtype)
@@ -117,6 +123,8 @@ def optimize_pose_graph_sim3(
 
         d = jnp.linalg.solve(H.reshape(K * 7, K * 7), -g.reshape(K * 7)).reshape(K, 7)
         d = jnp.where(fixed[:, None], 0.0, d)
+        if fix_scale:
+            d = d.at[:, 6].set(0.0)  # SE3 subgroup: 6-DoF essential graph
         Rn, tn, sn = jax.vmap(lambda dd, RR, tt, ss: sim3.compose(sim3.exp(dd), (RR, tt, ss)))(
             d, R, t, s
         )

@@ -620,9 +620,16 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
             )
             m, _ = self._add_candidates(m, slot, out)
         w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
-        neighbors = np.argsort(-w)[:2]
+        neighbors = list(np.argsort(-w)[:2])
+        # inertial temporal chain: always try the previous chain keyframe
+        # too (reference `src/LocalMapping.cc:412-422` walks mPrevKF when
+        # the covisible set is small)
+        if self.kf_order and self.kf_order[-1] not in neighbors:
+            neighbors.append(self.kf_order[-1])
         for nb in neighbors:
-            if w[nb] <= 0 or self.n_mp >= cfg.max_map_points - cfg.n_features:
+            if self.n_mp >= cfg.max_map_points - cfg.n_features:
+                continue
+            if w[nb] <= 0 and nb != (self.kf_order[-1] if self.kf_order else -1):
                 continue
             out = T.triangulate_between(
                 m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg

@@ -92,6 +92,17 @@ def _apply_correction(m, R_new, t_new, s_new):
     )
 
 
+def _scale_fixed(slam) -> bool:
+    """Reference ``mbFixScale``: scale is directly observable for
+    stereo/RGB-D (metric depth) and for inertial systems once the IMU is
+    initialized — their loop Sim3 and essential graph run at 6/4 DoF
+    (`src/LoopClosing.cc` ctor, ``OptimizeEssentialGraph6DoF``)."""
+    cfg = getattr(slam, "cfg", None)
+    if cfg is not None and getattr(cfg, "bf", 0.0) > 0:
+        return True
+    return getattr(slam, "imu_stage", 0) >= 1
+
+
 class LoopCloser:
     """Host-side loop-closing stage over the shared map snapshot."""
 
@@ -302,13 +313,14 @@ class LoopCloser:
         if not verified_cands:
             return False
 
+        fix_scale = _scale_fixed(slam)
         for cand in verified_cands:
             x_cand, x_cur, ok, idx_cand = _matched_point_pairs(
                 m, jnp.int32(slot), jnp.int32(cand)
             )
             res = sim3_ransac(
                 x_cand, x_cur, ok, jax.random.PRNGKey(slot),
-                fix_scale=False,
+                fix_scale=fix_scale,
             )
             # verification ladder (reference DetectCommonRegionsFromBoW):
             # Sim3-guided projection matching grows the pair set, then the
@@ -485,7 +497,8 @@ class LoopCloser:
         fixed = fixed | ~jnp.asarray(kf_valid)
 
         R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
-            R_all, t_all, s_all, edges, fixed
+            R_all, t_all, s_all, edges, fixed,
+            fix_scale=_scale_fixed(slam),
         )
         slam.m = _apply_correction(m, R_new, t_new, s_new)
 

@@ -134,3 +134,68 @@ def export_map_html(slam, path: str):
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+# ---------------------------------------------------------------------------
+# live viewer: the reference's Pangolin UI thread (`src/Viewer.cc:130-170`)
+# becomes a daemon HTTP server streaming map snapshots to a browser canvas —
+# a TPU host has no display, but every dev box has a browser
+# ---------------------------------------------------------------------------
+
+_LIVE_SHIM = """let DATA={points:[],trajectory:[],kf_centers:[],covis_edges:[],n_kf:0,n_mp:0};
+async function poll(){try{const r=await fetch('state.json');DATA=await r.json();
+ if(dist===null)fit(); draw();}catch(e){} setTimeout(poll,1000);}
+poll();"""
+
+
+class LiveViewer:
+    """Background HTTP server with a live-updating orbit map view.
+
+    Equivalent of the reference's Viewer thread (`src/Viewer.cc`): start it
+    next to a running system and open http://host:port/ — the page polls
+    ``state.json`` (a fresh :func:`map_snapshot`) once a second.  Snapshots
+    are computed in the server thread; the functional map arrays make the
+    read race-free by construction (immutable snapshots — no
+    ``mMutexMapUpdate`` needed).
+    """
+
+    def __init__(self, slam, port: int = 8765):
+        import http.server
+        import threading
+
+        viewer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr spam
+                pass
+
+            def do_GET(self):
+                try:
+                    if self.path.endswith("state.json"):
+                        body = json.dumps(map_snapshot(viewer.slam)).encode()
+                        ctype = "application/json"
+                    else:
+                        html = _HTML_TEMPLATE.replace(
+                            "const DATA = __DATA__;", _LIVE_SHIM
+                        )
+                        body = html.encode()
+                        ctype = "text/html"
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except BrokenPipeError:
+                    pass
+
+        self.slam = slam
+        self.httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

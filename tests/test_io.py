@@ -69,3 +69,32 @@ class TestTrajectoryIO:
         assert raw.shape == (5, 12)
         M = raw[0].reshape(3, 4)
         np.testing.assert_allclose(M[:, :3], recs[0].Rcw.T, atol=1e-6)
+
+
+class TestLiveViewer:
+    def test_live_viewer_serves_state(self):
+        """The live viewer (reference Viewer-thread equivalent) must serve
+        the HTML page and a fresh map snapshot over HTTP."""
+        import json as _json
+        import urllib.request
+
+        from orb_slam3_noted_tpu.io.config import SlamConfig
+        from orb_slam3_noted_tpu.models.cameras import Camera, PINHOLE
+        from orb_slam3_noted_tpu.pipeline.system import MonoSLAM
+        from orb_slam3_noted_tpu.utils.viewer import LiveViewer
+
+        cam = Camera(PINHOLE, (260.0, 260.0, 159.5, 119.5))
+        cfg = SlamConfig(camera=cam, width=320, height=240, n_features=64,
+                         max_keyframes=8, max_map_points=256)
+        slam = MonoSLAM(cfg)
+        v = LiveViewer(slam, port=0)  # ephemeral port
+        try:
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/", timeout=10).read().decode()
+            assert "state.json" in page and "<canvas" in page
+            state = _json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{v.port}/state.json", timeout=10).read())
+            for key in ("points", "trajectory", "kf_centers", "n_kf", "n_mp"):
+                assert key in state
+        finally:
+            v.close()
