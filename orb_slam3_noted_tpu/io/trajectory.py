@@ -61,6 +61,34 @@ def save_kitti(path: str, records):
             f.write(" ".join(f"{v:.9e}" for v in M) + "\n")
 
 
+def save_keyframes_tum(path: str, slam, stamps=None):
+    """Keyframe-only trajectory (reference ``SaveKeyFrameTrajectoryTUM``,
+    `/root/reference/src/System.cc:560`): one line per VALID keyframe in
+    frame-id order, with each keyframe's FINAL (BA/loop-refined) pose.
+
+    ``stamps``: optional frame-id -> seconds mapping (array/list); frame id
+    is used directly when absent.
+    """
+    m = slam.m
+    kf_valid = np.asarray(m.kf_valid)
+    fids = np.asarray(m.kf_frame_id)
+    Rcw = np.asarray(m.kf_Rcw)
+    tcw = np.asarray(m.kf_tcw)
+    slots = np.flatnonzero(kf_valid)
+    slots = slots[np.argsort(fids[slots])]
+    with open(path, "w") as f:
+        for s in slots:
+            t = fids[s]
+            if stamps is not None and 0 <= t < len(stamps):
+                t = stamps[int(t)]
+            _, twc, q = _twc_quat(Rcw[s], tcw[s])
+            f.write(
+                f"{float(t):.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+            )
+    return path
+
+
 def load_tum(path: str):
     """-> (t (N,), pos (N, 3), quat_wxyz (N, 4))."""
     raw = np.loadtxt(path)

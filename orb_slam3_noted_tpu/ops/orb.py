@@ -142,26 +142,29 @@ def brief_descriptors(
     h, w = img_blur.shape
     a = jnp.cos(angle)[:, None]  # (K, 1)
     b = jnp.sin(angle)[:, None]
-    p1 = jnp.asarray(_P1)
-    p2 = jnp.asarray(_P2)
-    # Flat 1-D gather: a single-axis gather is ~20% faster than the 2-axis
-    # form on TPU (the 512-point gather is the hot spot of the whole
-    # extraction pipeline; see PROFILE_r04.md).  Comparisons stay on the
-    # f32 blur — OpenCV compares the rounded 8U blur, but rounding first
-    # measurably degrades association on depth-seeded maps (RGB-D max ATE
-    # 0.10 -> 0.147 m on the synthetic room), and the sub-LSB information
-    # is free here.
+    pall = jnp.asarray(np.concatenate([_P1, _P2], 0))  # (512, 2)
+
+    # rotated sample coordinates for all 512 pattern points
+    px, py = pall[None, :, 0], pall[None, :, 1]
+    rx = jnp.round(px * a - py * b).astype(jnp.int32)  # (K, 512)
+    ry = jnp.round(px * b + py * a).astype(jnp.int32)
+    gx = jnp.clip(xy[:, 0:1].astype(jnp.int32) + rx, 0, w - 1)
+    gy = jnp.clip(xy[:, 1:2].astype(jnp.int32) + ry, 0, h - 1)
+
+    # Pallas sampling kernel on TPU: each keypoint reads a VMEM window and
+    # selects its 512 samples with one-hot contractions — the XLA gather is
+    # latency-bound at ~14 ns/element and dominates extraction
+    # (PROFILE_r04.md).  Comparisons stay on the f32 blur — OpenCV compares
+    # the rounded 8U blur, but rounding first measurably degrades
+    # association on depth-seeded maps (RGB-D max ATE 0.10 -> 0.147 m).
+    out = pk.brief_sample_tpu(img_blur, gy, gx)
+    if out is not None:
+        return out
+
+    # XLA fallback: flat 1-D gather (~20% faster than the 2-axis form)
     flat = img_blur.reshape(-1)
-
-    def rotated_values(p):
-        px, py = p[None, :, 0], p[None, :, 1]  # (1, 256)
-        rx = jnp.round(px * a - py * b).astype(jnp.int32)  # (K, 256)
-        ry = jnp.round(px * b + py * a).astype(jnp.int32)
-        gx = jnp.clip(xy[:, 0:1].astype(jnp.int32) + rx, 0, w - 1)
-        gy = jnp.clip(xy[:, 1:2].astype(jnp.int32) + ry, 0, h - 1)
-        return jnp.take(flat, gy * w + gx, axis=0)  # (K, 256) 1-D gather
-
-    bits = (rotated_values(p1) < rotated_values(p2)).astype(jnp.uint32)  # (K, 256)
+    vals = jnp.take(flat, gy * w + gx, axis=0)  # (K, 512)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
     k = bits.shape[0]
     words = bits.reshape(k, 8, 32) << jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     return jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (K, 8)

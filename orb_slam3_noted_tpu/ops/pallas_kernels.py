@@ -267,3 +267,160 @@ def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
         k = jnp.asarray(image_ref.gaussian_kernel1d(7, sigma))[None, :]
         return _blur_tpu(img.astype(jnp.float32), k)
     return image_ref.gaussian_blur(img, 7, sigma)
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF sampling kernel
+#
+# The XLA form is a 512-point random gather per keypoint — latency-bound at
+# ~14 ns/element on TPU (PROFILE_r04.md), ~70% of the whole extraction
+# pipeline.  Here each keypoint reads a (64, 64) VMEM window around itself
+# (dynamic slice, no HBM gather) and selects its 512 samples with two
+# one-hot contractions: rows via a (512, 64) @ (64, 64) MXU matmul, the
+# lane via a masked sum — turning a pointer chase into dense compute.
+# ---------------------------------------------------------------------------
+
+_BRIEF_KB = 8     # keypoints per grid step
+# window rows: the rotated pattern spans <= 44 px; 64 = 44 + 8-alignment
+# slack (mosaic requires sublane dynamic-slice starts to be multiples of 8)
+_BRIEF_WH = 64
+# window cols: lane dynamic-slice starts must be multiples of 128, so the
+# window is 256 wide — anchored such that the 44-px span always fits
+_BRIEF_WW = 256
+
+
+def _brief_kernel(y0_ref, x0_ref, gy_ref, gx_ref, img_ref, out_ref):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (512, _BRIEF_WW), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (512, _BRIEF_WH), 1)
+    vals_all = []
+    for k in range(_BRIEF_KB):
+        y0 = pl.multiple_of(y0_ref[k, 0], 8)
+        x0 = pl.multiple_of(x0_ref[k, 0], 128)
+        win = img_ref[pl.ds(y0, _BRIEF_WH), pl.ds(x0, _BRIEF_WW)]
+        oy = (sub == (gy_ref[k] - y0)[:, None]).astype(jnp.float32)
+        # HIGHEST precision: the default f32 matmul truncates through bf16
+        # passes — one-hot SELECTION must reproduce the f32 pixel exactly
+        # or comparisons flip vs the XLA path
+        rows = jax.lax.dot_general(
+            oy, win, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        ox = lane == (gx_ref[k] - x0)[:, None]
+        vals_all.append(jnp.sum(jnp.where(ox, rows, 0.0), axis=1))  # (512,)
+    vals = jnp.stack(vals_all)                                 # (KB, 512)
+    # raw comparison bits; packing into uint32 words happens OUTSIDE the
+    # kernel (mosaic cannot reshape across the lane dimension)
+    out_ref[:] = (vals[:, :256] < vals[:, 256:]).astype(jnp.int32)
+
+
+@functools.cache
+def _brief_pallas_fn(b: int, kpad: int, h: int, w: int):
+    grid = (b, kpad // _BRIEF_KB)
+
+    return jax.jit(
+        lambda y0, x0, gy, gx, img: pl.pallas_call(
+            _brief_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((b, kpad, 256), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((None, _BRIEF_KB, 1), lambda ib, ik: (ib, ik, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, _BRIEF_KB, 1), lambda ib, ik: (ib, ik, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, _BRIEF_KB, 512),
+                             lambda ib, ik: (ib, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, _BRIEF_KB, 512),
+                             lambda ib, ik: (ib, ik, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, h, w), lambda ib, ik: (ib, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, _BRIEF_KB, 256),
+                                   lambda ib, ik: (ib, ik, 0),
+                                   memory_space=pltpu.VMEM),
+        )(y0, x0, gy, gx, img)
+    )
+
+
+def _brief_pad_shape(H: int, W: int) -> tuple[int, int]:
+    """Padded image shape such that every window origin stays ALIGNED.
+
+    Clipping an origin to H-64 / W-256 would break the sublane/lane
+    alignment mosaic requires (and silently mis-load); instead the image
+    is zero-padded so the largest possible aligned origin still has a full
+    window: Hpad >= max_y0 + 64, Wpad >= max_x0 + 256.  The pad region is
+    never selected (sample coordinates are clipped inside the real image).
+    """
+    hpad = max((H - 29) // 8 * 8 + _BRIEF_WH, _BRIEF_WH)
+    wpad = max((W - 97) // 128 * 128 + _BRIEF_WW, _BRIEF_WW)
+    return max(hpad, H), max(wpad, W)
+
+
+def _brief_prep(img_blur, gy, gx):
+    """Window origins for one image's coordinate table.
+
+    y0 is a multiple of 8, x0 a multiple of 128 (mosaic dynamic-slice
+    alignment); the (64, 256) window covers the <=44-px rotated-pattern
+    span from any anchor (y0 in [ymid-35, ymid-28], x0 in
+    (xmid-224, xmid-96], both >= 0 after the max)."""
+    ymid = (jnp.min(gy, axis=-1) + jnp.max(gy, axis=-1)) // 2
+    xmid = (jnp.min(gx, axis=-1) + jnp.max(gx, axis=-1)) // 2
+    y0 = jnp.maximum((ymid - 28) // 8 * 8, 0).astype(jnp.int32)
+    x0 = jnp.maximum((xmid - 96) // 128 * 128, 0).astype(jnp.int32)
+    return y0, x0
+
+
+if _HAS_PALLAS:
+    @jax.custom_batching.custom_vmap
+    def _brief_tpu(img, gy, gx):
+        h, w = img.shape
+        kpad = gy.shape[0]
+        y0, x0 = _brief_prep(img, gy, gx)
+        out = _brief_pallas_fn(1, kpad, h, w)(
+            y0[None, :, None], x0[None, :, None],
+            gy[None], gx[None], img[None],
+        )
+        return out[0]
+
+    @_brief_tpu.def_vmap
+    def _brief_tpu_vmap(axis_size, in_batched, imgs, gy, gx):
+        b, h, w = imgs.shape
+        kpad = gy.shape[1]
+        y0, x0 = _brief_prep(imgs, gy, gx)
+        out = _brief_pallas_fn(b, kpad, h, w)(
+            y0[:, :, None], x0[:, :, None], gy, gx, imgs,
+        )
+        return out, True
+
+
+def brief_sample_tpu(img_blur: jnp.ndarray, gy: jnp.ndarray,
+                     gx: jnp.ndarray) -> jnp.ndarray | None:
+    """(K, 8) packed rBRIEF words from precomputed sample coordinates.
+
+    gy/gx: (K, 512) absolute pixel coordinates (already rotated + clipped,
+    so each keypoint's samples span <= 44 px and always fit the (64, 64)
+    window anchored at their midpoint).  Returns None off-TPU (callers
+    fall back to the XLA gather); images smaller than the window (tiny
+    pyramid levels) also fall back.
+    """
+    if not (_HAS_PALLAS and _on_tpu()):
+        return None
+    H, W = img_blur.shape
+    hpad, wpad = _brief_pad_shape(H, W)
+    if (hpad, wpad) != (H, W):
+        img_blur = jnp.pad(img_blur, ((0, hpad - H), (0, wpad - W)))
+    K = gy.shape[0]
+    kpad = -(-K // _BRIEF_KB) * _BRIEF_KB
+    if kpad != K:
+        gy = jnp.pad(gy, ((0, kpad - K), (0, 0)))
+        gx = jnp.pad(gx, ((0, kpad - K), (0, 0)))
+    bits = _brief_tpu(
+        img_blur.astype(jnp.float32),
+        gy.astype(jnp.int32), gx.astype(jnp.int32),
+    )[:K].astype(jnp.uint32)                        # (K, 256) raw bits
+    words = bits.reshape(K, 8, 32) << jnp.arange(32, dtype=jnp.uint32)[
+        None, None, :
+    ]
+    return jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (K, 8)

@@ -49,23 +49,8 @@ def _residual_tangent(Sm, Si, Sj, di, dj):
     return _edge_residual(Sm, Si2, Sj2)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
-def optimize_pose_graph_sim3(
-    R: jnp.ndarray,       # (K, 3, 3) S_iw rotations (world -> kf)
-    t: jnp.ndarray,       # (K, 3)
-    s: jnp.ndarray,       # (K,)
-    edges: Sim3Edges,
-    fixed: jnp.ndarray,   # (K,) bool (e.g. the loop keyframe / map origin)
-    n_iters: int = 12,
-    lam: float = 1e-6,
-    fix_scale: bool = False,
-):
-    """Damped Gauss-Newton over the Sim3 pose graph. Returns (R, t, s, cost).
-
-    ``fix_scale=True`` zeroes the log-scale component of every update — the
-    6-DoF essential-graph variant the reference uses when scale is directly
-    observable (stereo/RGB-D: ``OptimizeEssentialGraph6DoF``,
-    `/root/reference/src/Optimizer.cc:2373`)."""
+def _pose_graph_sim3_impl(R, t, s, edges, fixed, n_iters, lam, fix_scale,
+                          psum=None):
     K = R.shape[0]
     dtype = t.dtype
     z7 = jnp.zeros(7, dtype)
@@ -92,6 +77,8 @@ def optimize_pose_graph_sim3(
         )  # (E, 7, 7) each
         w = jnp.where(edges.valid, edges.weight, 0.0)
         cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        if psum is not None:
+            cost = psum(cost)
         return r, Ji, Jj, w, cost
 
     def gn_step(carry, _):
@@ -113,6 +100,11 @@ def optimize_pose_graph_sim3(
         g = jnp.zeros((K, 7), dtype)
         g = g.at[edges.i].add(gi)
         g = g.at[edges.j].add(gj)
+        if psum is not None:
+            # edge table sharded over the mesh: reduce the assembled
+            # normal equations, then every device solves identically
+            H = psum(H)
+            g = psum(g)
 
         # gauge + free-vertex damping on the block diagonal
         bump = jnp.where(fixed, 1e12, lam_c + 1e-8)
@@ -140,6 +132,87 @@ def optimize_pose_graph_sim3(
         gn_step, (R, t, s, jnp.asarray(lam, dtype)), None, length=n_iters
     )
     return R, t, s, costs[-1]
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def optimize_pose_graph_sim3(
+    R: jnp.ndarray,       # (K, 3, 3) S_iw rotations (world -> kf)
+    t: jnp.ndarray,       # (K, 3)
+    s: jnp.ndarray,       # (K,)
+    edges: Sim3Edges,
+    fixed: jnp.ndarray,   # (K,) bool (e.g. the loop keyframe / map origin)
+    n_iters: int = 12,
+    lam: float = 1e-6,
+    fix_scale: bool = False,
+):
+    """Damped Gauss-Newton over the Sim3 pose graph. Returns (R, t, s, cost).
+
+    ``fix_scale=True`` zeroes the log-scale component of every update — the
+    6-DoF essential-graph variant the reference uses when scale is directly
+    observable (stereo/RGB-D: ``OptimizeEssentialGraph6DoF``,
+    `/root/reference/src/Optimizer.cc:2373`)."""
+    return _pose_graph_sim3_impl(R, t, s, edges, fixed, n_iters, lam,
+                                 fix_scale)
+
+
+def distributed_pose_graph_sim3(
+    mesh,
+    R: jnp.ndarray,
+    t: jnp.ndarray,
+    s: jnp.ndarray,
+    edges: Sim3Edges,
+    fixed: jnp.ndarray,
+    n_iters: int = 12,
+    lam: float = 1e-6,
+    fix_scale: bool = False,
+):
+    """Mesh-sharded Sim3 pose graph: edge table split over devices.
+
+    The distributed essential-graph half of the SURVEY §2.3 north star:
+    every device evaluates residuals/Jacobians for its edge shard, the
+    assembled (K,7,K,7) normal equations are ``psum``'d over ICI, and the
+    dense solve is replicated (K <= a few hundred keyframes — the solve is
+    tiny next to the per-edge autodiff Jacobians, which dominate and shard
+    perfectly).  Returns (R, t, s, cost), replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.size
+    E = edges.i.shape[0]
+    pad = (-E) % n
+    if pad:
+        edges = Sim3Edges(
+            i=jnp.concatenate([edges.i, jnp.zeros(pad, jnp.int32)]),
+            j=jnp.concatenate([edges.j, jnp.zeros(pad, jnp.int32)]),
+            R=jnp.concatenate(
+                [edges.R, jnp.tile(jnp.eye(3, dtype=edges.R.dtype), (pad, 1, 1))]
+            ),
+            t=jnp.concatenate([edges.t, jnp.zeros((pad, 3), edges.t.dtype)]),
+            s=jnp.concatenate([edges.s, jnp.ones(pad, edges.s.dtype)]),
+            weight=jnp.concatenate(
+                [edges.weight, jnp.zeros(pad, edges.weight.dtype)]
+            ),
+            valid=jnp.concatenate([edges.valid, jnp.zeros(pad, bool)]),
+        )
+    rep = P()
+    shard = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, rep, rep,
+                  jax.tree_util.tree_map(lambda _: shard, edges), rep),
+        out_specs=(rep, rep, rep, rep),
+    )
+    def run(R, t, s, e_shard, fx):
+        psum = lambda x: jax.lax.psum(x, axis)
+        return _pose_graph_sim3_impl(
+            R, t, s, e_shard, fx, n_iters, lam, fix_scale, psum=psum
+        )
+
+    return run(R, t, s, edges, fixed)
 
 
 # ---------------------------------------------------------------------------

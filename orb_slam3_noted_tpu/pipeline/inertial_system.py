@@ -247,6 +247,12 @@ class InertialMixin:
 
     # -- IMU initialization stages -------------------------------------
     def _try_imu_init(self, t):
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER
+
+        with GLOBAL_TIMER.stage("imu_init_check"):
+            return self._try_imu_init_timed(t)
+
+    def _try_imu_init_timed(self, t):
         cfg = self.cfg
         stage_times = [
             cfg.imu_init_time, cfg.imu_viba1_time, cfg.imu_viba2_time
@@ -316,6 +322,14 @@ class InertialMixin:
     # -- inertial local mapping ----------------------------------------
     def _chain_ba(self, window=None, bias_prior_g=0.0, bias_prior_a=0.0,
                   n_iters=4):
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER
+
+        with GLOBAL_TIMER.stage("chain_ba"):
+            return self._chain_ba_timed(window, bias_prior_g, bias_prior_a,
+                                        n_iters)
+
+    def _chain_ba_timed(self, window=None, bias_prior_g=0.0,
+                        bias_prior_a=0.0, n_iters=4):
         cfg = self.cfg
         n = len(self.kf_order)
         if n < 2:
@@ -377,9 +391,15 @@ class InertialMixin:
             self.m, feats, Rcw_p, tcw_p, mp_mask, self.cam, cfg,
             feat_uvr=feat_uvr,
         )
+        # compact to the matched set (<= NF rows) — the optimizer's cost is
+        # linear in observation rows; see vi_track_batch
+        NF = feats.xy.shape[0]
+        MP = self.m.mp_pos.shape[0]
+        sel = jnp.argsort(~obs.valid)[:NF]
+        obs_c = jax.tree_util.tree_map(lambda x: x[sel], obs)
         res = vi_pose_optimization(
             self.cam, self.calib, anchor, frame0, pre,
-            self.m.mp_pos, obs, bf=cfg.bf,
+            self.m.mp_pos[sel], obs_c, bf=cfg.bf,
         )
         st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
                       vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
@@ -388,11 +408,10 @@ class InertialMixin:
         self.cur_vel = res.vel
         n_inl = int(res.n_inliers)
         # invert matching for keyframe binding
-        NF = feats.xy.shape[0]
-        keep = obs.valid & res.inliers
-        src_mp = jnp.arange(self.m.mp_pos.shape[0], dtype=jnp.int32)
-        tgt = jnp.where(keep, f_idx, NF)
-        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+        keep_c = obs_c.valid & res.inliers
+        tgt = jnp.where(keep_c, f_idx[sel], NF)
+        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(sel)[:NF]
+        keep = jnp.zeros(MP, bool).at[sel].max(keep_c)
         self._mp_remap = None  # fresh bindings vs current map
         self.m = self.m._replace(
             mp_visible=self.m.mp_visible + vis.astype(jnp.int32),
@@ -447,7 +466,6 @@ def vi_track_batch(
     )
     NF = feats_all.xy.shape[1]
     MP = m.mp_pos.shape[0]
-    src_mp = jnp.arange(MP, dtype=jnp.int32)
 
     def one(feats, uvr, a, w, d):
         pre = integrate_measurements(bias, a, w, d, calib)
@@ -460,15 +478,24 @@ def vi_track_batch(
         obs, f_idx, vis = T.match_local_map(
             m, feats, Rcw_p[0], tcw_p[0], mp_mask, cam, cfg, feat_uvr=uvr,
         )
+        # compact the (MP,)-indexed observation table to the matched set
+        # (bounded by NF distinct features): the VI pose optimizer's cost
+        # is linear in its observation rows, and running it over the full
+        # 16k-point table was 8x wasted work (round-4 profile: 43 ms/frame)
+        sel = jnp.argsort(~obs.valid)[:NF]
+        obs_c = jax.tree_util.tree_map(
+            lambda x: x[sel] if x is not None else None, obs
+        )
         res = vi_pose_optimization(
-            cam, calib, anchor, frame0, pre, m.mp_pos, obs, bf=bf,
+            cam, calib, anchor, frame0, pre, m.mp_pos[sel], obs_c, bf=bf,
         )
         st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
                       vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
         Rcw, tcw = cam_from_body(st1, calib)
-        keep = obs.valid & res.inliers
-        tgt = jnp.where(keep, f_idx, NF)
-        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(src_mp)[:NF]
+        keep_c = obs_c.valid & res.inliers               # (NF,) on sel rows
+        tgt = jnp.where(keep_c, f_idx[sel], NF)
+        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(sel)[:NF]
+        keep = jnp.zeros(MP, bool).at[sel].max(keep_c)
         return (Rcw[0], tcw[0], res.n_inliers, mp_of_feat, res.vel,
                 vis, keep)
 
@@ -663,6 +690,14 @@ class StereoInertialSLAM(MonoInertialSLAM):
 
     def process(self, img_left, img_right, frame_id,
                 t=None, acc=None, gyr=None, imu_t=None):
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER
+
+        with GLOBAL_TIMER.stage("vi_frame"):
+            return self._process_timed(img_left, img_right, frame_id,
+                                       t, acc, gyr, imu_t)
+
+    def _process_timed(self, img_left, img_right, frame_id,
+                       t=None, acc=None, gyr=None, imu_t=None):
         from orb_slam3_noted_tpu.ops import image as I
         from orb_slam3_noted_tpu.ops.stereo import match_stereo
 

@@ -140,6 +140,9 @@ class LoopCloser:
         # in-flight time-sliced GBA (single-chip analogue of the
         # reference's GBA thread); advanced by ``service_gba``
         self.active_gba = None
+        # deferred SearchAndFuse targets after a correction (one fuse
+        # dispatch per frame boundary)
+        self._post_fuse: list[int] = []
         # temporal Sim3 path state (`DetectAndReffineSim3FromLastKF`,
         # `src/LoopClosing.cc:497`): a geometrically verified but not yet
         # accepted loop hypothesis; the next keyframe refines it by
@@ -148,10 +151,23 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def service_gba(self, slam, n_steps: int = 1):
-        """Advance the in-flight GBA by up to ``n_steps`` LM slices; merge
-        deltas into the live map when it converges.  Called by the system
-        at frame boundaries — the single-chip replacement for the
-        reference's background GBA thread + abort protocol."""
+        """Advance deferred post-correction work by one slice: first the
+        queued SearchAndFuse dispatches, then the in-flight GBA.  Called by
+        the system at frame boundaries — the single-chip replacement for
+        the reference's background GBA thread + abort protocol."""
+        if self._post_fuse:
+            from orb_slam3_noted_tpu.pipeline import map_state as MS
+            from orb_slam3_noted_tpu.pipeline import tracking as T
+
+            target = self._post_fuse.pop(0)
+            mask, _ = MS.local_map_mask(
+                slam.m, jnp.int32(target), n_neighbors=5
+            )
+            slam.m = T.fuse_map_points(
+                slam.m, jnp.int32(target), slam.m.mp_valid & ~mask,
+                slam.cam, slam.cfg,
+            )
+            return False
         g = self.active_gba
         if g is None:
             return False
@@ -166,7 +182,9 @@ class LoopCloser:
         return False
 
     def finish_gba(self, slam):
-        """Drain the in-flight GBA completely (flush semantics)."""
+        """Drain deferred fuses + the in-flight GBA completely (flush)."""
+        while self._post_fuse:
+            self.service_gba(slam)
         if self.active_gba is not None:
             slam.m = self.active_gba.finish(slam.m)
             self.active_gba = None
@@ -496,30 +514,33 @@ class LoopCloser:
         # freeze invalid slots too (no edges touch them, but keep H regular)
         fixed = fixed | ~jnp.asarray(kf_valid)
 
-        R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
-            R_all, t_all, s_all, edges, fixed,
-            fix_scale=_scale_fixed(slam),
-        )
+        if jax.device_count() > 1:
+            # edge table sharded over the attached mesh (distributed
+            # essential graph, SURVEY §2.3 north star)
+            from orb_slam3_noted_tpu.optim.pose_graph import (
+                distributed_pose_graph_sim3,
+            )
+            from orb_slam3_noted_tpu.parallel.dist_ba import make_mesh
+
+            R_new, t_new, s_new, cost = distributed_pose_graph_sim3(
+                make_mesh(), R_all, t_all, s_all, edges, fixed,
+                fix_scale=_scale_fixed(slam),
+            )
+        else:
+            R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
+                R_all, t_all, s_all, edges, fixed,
+                fix_scale=_scale_fixed(slam),
+            )
         slam.m = _apply_correction(m, R_new, t_new, s_new)
 
         # SearchAndFuse (`src/LoopClosing.cc:1872`): with poses corrected,
         # project the map into the loop-side keyframes and merge the
-        # duplicate landmarks the drift created (the current window's points
-        # now land on the loop side's features and vice versa)
+        # duplicate landmarks the drift created.  DEFERRED: one fuse
+        # dispatch per frame boundary (service_gba) so the correction
+        # batch's device queue stays short — the reference also runs this
+        # on its LoopClosing thread, off the tracking path
         if getattr(slam, "cfg", None) is not None:
-            from orb_slam3_noted_tpu.pipeline import map_state as MS
-            from orb_slam3_noted_tpu.pipeline import tracking as T
-
-            all_mp = slam.m.mp_valid
-            for target in (cand, slot):
-                mask, _ = MS.local_map_mask(
-                    slam.m, jnp.int32(target), n_neighbors=5
-                )
-                # fuse points NOT local to the target into the target view
-                slam.m = T.fuse_map_points(
-                    slam.m, jnp.int32(target), all_mp & ~mask,
-                    slam.cam, slam.cfg,
-                )
+            self._post_fuse.extend([cand, slot])
 
         # global BA after the pose-graph correction (reference spawns a GBA
         # thread from CorrectLoop, `src/LoopClosing.cc:1090-1097`); the
@@ -548,8 +569,7 @@ class LoopCloser:
                 self.active_gba = SlicedGBA(
                     slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
                     n_iters=6, n_iters_final=4,
-                )
-                self.active_gba.step()  # first slice rides this dispatch
+                )  # slices run at frame boundaries via service_gba
         # tracking state continues from the corrected pose of the current KF
         slam.last_Rcw = slam.m.kf_Rcw[slot]
         slam.last_tcw = slam.m.kf_tcw[slot]

@@ -88,3 +88,57 @@ class TestDistributedGBA:
             np.asarray(single.tcw), np.asarray(t8), atol=1e-3
         )
         assert np.isfinite(float(cost8))
+
+
+class TestDistributedPoseGraph:
+    def test_sharded_matches_single_device(self, rng):
+        """Edge-sharded Sim3 pose graph == the single-device optimizer
+        (round-4: distributed essential graph, SURVEY 2.3 north star)."""
+        from orb_slam3_noted_tpu.geometry import sim3
+        from orb_slam3_noted_tpu.optim.pose_graph import (
+            Sim3Edges,
+            distributed_pose_graph_sim3,
+            optimize_pose_graph_sim3,
+        )
+
+        K = 12
+        # ground-truth poses on a circle; drifted initial estimates
+        Rs, ts = [], []
+        for k in range(K):
+            Rs.append(np.asarray(so3.exp(jnp.asarray([0.0, 0.25 * k, 0.0]))))
+            ts.append(np.array([0.4 * k, 0.0, 0.05 * k], np.float32))
+        R_gt = jnp.asarray(np.stack(Rs), jnp.float32)
+        t_gt = jnp.asarray(np.stack(ts), jnp.float32)
+        s_gt = jnp.ones(K, jnp.float32)
+        # edges: chain + a loop edge, measured from ground truth
+        ei = list(range(K - 1)) + [0]
+        ej = list(range(1, K)) + [K - 1]
+        i_arr = jnp.asarray(ei, jnp.int32)
+        j_arr = jnp.asarray(ej, jnp.int32)
+        Si = (R_gt[i_arr], t_gt[i_arr], s_gt[i_arr])
+        Sj = (R_gt[j_arr], t_gt[j_arr], s_gt[j_arr])
+        Rr, tr, sr = jax.vmap(lambda a, b: sim3.compose(b, sim3.inverse(a)))(
+            Si, Sj
+        )
+        edges = Sim3Edges(
+            i=i_arr, j=j_arr, R=Rr, t=tr, s=sr,
+            weight=jnp.ones(len(ei), jnp.float32),
+            valid=jnp.ones(len(ei), bool),
+        )
+        # drift the estimates
+        drift = jnp.asarray(
+            rng.normal(0, 0.05, size=(K, 3)).astype(np.float32)
+        ).at[0].set(0.0)
+        t0 = t_gt + drift
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        out1 = optimize_pose_graph_sim3(R_gt, t0, s_gt, edges, fixed)
+        out8 = distributed_pose_graph_sim3(
+            make_mesh(8), R_gt, t0, s_gt, edges, fixed
+        )
+        np.testing.assert_allclose(
+            np.asarray(out1[1]), np.asarray(out8[1]), atol=1e-4
+        )
+        # and both recover the ground truth
+        np.testing.assert_allclose(
+            np.asarray(out8[1]), np.asarray(t_gt), atol=5e-3
+        )
