@@ -153,6 +153,7 @@ def _step(
     )
 
 
+@jax.jit
 def integrate_measurements(
     bias: Bias,
     acc: jnp.ndarray,
@@ -161,6 +162,11 @@ def integrate_measurements(
     calib: Calib,
 ) -> Preintegrated:
     """Integrate a (padded) batch of measurements with ``lax.scan``.
+
+    Jitted at module level: host callers re-integrate chain segments after
+    every bias update (reference ``Reintegrate``), and an UNJITTED 1024-step
+    scan re-traces on every call — measured at seconds per reintegration
+    sweep on the remote-compile harness (round-4 VI profile).
 
     acc/gyr: (N, 3); dts: (N,) with 0 for padding entries (exact no-ops).
     Equivalent to calling the reference's ``IntegrateNewMeasurement`` N times,

@@ -139,9 +139,24 @@ def chain_inertial_ba(
         pose_fixed = pose_fixed | (
             jnp.arange(K) < (K - 1)
         )
+    # compact the landmark table to the window's seen points: the solver's
+    # per-iteration landmark marginalization is linear in the point-table
+    # size, and the full 16k-capacity table was ~4x wasted work for an
+    # 8-keyframe window (round-4 VI profile)
+    MP = m.mp_pos.shape[0]
+    MPC = min(K * m.kf_xy.shape[1] // 2, MP)
+    sel = jnp.argsort(~seen)[:MPC]
+    inv = jnp.zeros(MP, jnp.int32).at[sel].set(
+        jnp.arange(MPC, dtype=jnp.int32)
+    )
+    seen_c = seen[sel]
+    obs = obs._replace(
+        point_idx=inv[obs.point_idx],
+        valid=obs.valid & seen[obs.point_idx],
+    )
     prob = VIBAProblem(
-        state=st0, points=m.mp_pos, obs=obs, edges=edges,
-        pose_fixed=pose_fixed, point_fixed=~seen,
+        state=st0, points=m.mp_pos[sel], obs=obs, edges=edges,
+        pose_fixed=pose_fixed, point_fixed=~seen_c,
         prior=no_prior(dtype),
     )
     res = visual_inertial_ba(
@@ -151,10 +166,9 @@ def chain_inertial_ba(
     )
     st = res.state
     Rcw_n, tcw_n = cam_from_body(st, calib)
-    MP = m.mp_pos.shape[0]
     m = MS.apply_ba_result(
         m, kf_slots, kf_mask, Rcw_n, tcw_n,
-        jnp.arange(MP, dtype=jnp.int32), seen, res.points,
+        sel, seen_c, res.points,
     )
     # unbind outlier observations + rebuild window obs_mat rows.
     # All scatters use masked-delta .add so padded window entries (which may

@@ -215,6 +215,16 @@ class InertialMixin:
         acc, gyr, dts = _pad(a, w, d, _KF_PAD)
         return integrate_measurements(bias or self.bias, acc, gyr, dts, self.calib)
 
+    # -- batch-walk hooks ----------------------------------------------
+    def _on_batch_frame(self, frame_id):
+        """Inside the visual batch walk (stage 0): advance the IMU
+        accumulators and the current time for this committed frame."""
+        t = getattr(self, "_frame_times", {}).get(frame_id)
+        if t is not None:
+            self._accumulate_interval(t)
+            self._cur_time = t
+            self.frames_total += 1
+
     # -- keyframe bookkeeping ------------------------------------------
     def _on_inertial_keyframe(self, slot, t):
         """Record the temporal chain segment ending at this new keyframe."""
@@ -266,18 +276,32 @@ class InertialMixin:
                   (1.0, 1e5), (0.0, 0.0)]
         prior_g, prior_a = priors[self.imu_stage]
         slots = np.asarray(self.kf_order, np.int32)
-        Rcw = self.m.kf_Rcw[jnp.asarray(slots)]
-        tcw = self.m.kf_tcw[jnp.asarray(slots)]
+        K = len(slots)
+        # pad the chain to the next power of two (masked-off segments):
+        # every distinct KF count would otherwise be a fresh compile of the
+        # init solver — several seconds per attempt on the remote compiler
+        Kpad = 4
+        while Kpad < K:
+            Kpad *= 2
+        slots_p = np.concatenate([slots, np.full(Kpad - K, slots[-1],
+                                                 np.int32)])
+        Rcw = self.m.kf_Rcw[jnp.asarray(slots_p)]
+        tcw = self.m.kf_tcw[jnp.asarray(slots_p)]
         Rwb, twb = body_from_cam(Rcw, tcw, self.calib)
-        pre = jax.tree_util.tree_map(
-            lambda *x: jnp.stack(x), *self.seg_preints
-        )
-        res = inertial_init(
-            Rwb, twb, pre, jnp.asarray(self.seg_ok, bool),
-            prior_g=prior_g, prior_a=max(prior_a, 1e-6),
-            n_iters=30, fix_scale=self.FIX_SCALE,
-        )
-        s = float(res.scale)
+        dummy = init_preintegrated(self.bias)
+        pre_list = list(self.seg_preints) + [dummy] * (Kpad - K)
+        pre = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pre_list)
+        seg_ok = np.zeros(Kpad - 1, bool)
+        seg_ok[: K - 1] = self.seg_ok
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as _T
+
+        with _T.stage("ii_solve"):
+            res = inertial_init(
+                Rwb, twb, pre, jnp.asarray(seg_ok),
+                prior_g=prior_g, prior_a=max(prior_a, 1e-6),
+                n_iters=30, fix_scale=self.FIX_SCALE,
+            )
+            s = float(res.scale)
         if not np.isfinite(s) or s < 1e-2 or s > 1e3:
             return
         if self.imu_stage == 0 and not self.FIX_SCALE:
@@ -294,12 +318,12 @@ class InertialMixin:
             Ryw = Rwg.T.astype(jnp.float32)
             sj = jnp.asarray(s, jnp.float32)
             self.m = MS.apply_scaled_rotation_map(self.m, Ryw, sj)
-            vel_new = s * jnp.einsum("ij,kj->ki", Ryw, res.velocities)
+            vel_new = s * jnp.einsum("ij,kj->ki", Ryw, res.velocities[:K])
             self.last_Rcw = self.last_Rcw @ Ryw.T
             self.last_tcw = self.last_tcw * sj
             self.vel = None
         else:
-            vel_new = res.velocities  # already metric; scale ~ 1
+            vel_new = res.velocities[:K]  # already metric; scale ~ 1
         sl = jnp.asarray(slots)
         self.ki = IMAP.KFInertial(
             vel=self.ki.vel.at[sl].set(vel_new.astype(jnp.float32)),
@@ -309,14 +333,17 @@ class InertialMixin:
                 jnp.broadcast_to(res.ba, (len(slots), 3)).astype(jnp.float32)),
         )
         self.bias = Bias(res.bg.astype(jnp.float32), res.ba.astype(jnp.float32))
-        self._reintegrate_segments()
-        self.cur_vel = self.ki.vel[int(slots[-1])]
+        with _T.stage("ii_reintegrate"):
+            self._reintegrate_segments()
+            self.cur_vel = self.ki.vel[int(slots[-1])]
         # FullInertialBA over the whole chain with the stage's bias priors
         # (the reference runs it to convergence, its=100-200:
-        # `src/Optimizer.cc:391`; the big scale correction needs the longer
-        # schedule)
+        # `src/Optimizer.cc:391`); the long schedule is only needed when a
+        # big scale correction just warped the map (mono) — stereo enters
+        # with metric scale and converges in half the iterations
         self._chain_ba(window=None, bias_prior_g=float(prior_g),
-                       bias_prior_a=float(min(prior_a, 1e5)), n_iters=16)
+                       bias_prior_a=float(min(prior_a, 1e5)),
+                       n_iters=8 if self.FIX_SCALE else 16)
         self.imu_stage += 1
 
     # -- inertial local mapping ----------------------------------------
@@ -768,6 +795,29 @@ class StereoInertialSLAM(MonoInertialSLAM):
         self._cur_time = t
         return self.trajectory[-1]
 
+    def _process_one(self, frame, frame_id):
+        """Init/fallback per-frame path inside the visual batch machinery:
+        route through the inertial process so timestamps and IMU
+        accumulation stay correct."""
+        t = getattr(self, "_frame_times", {}).get(frame_id)
+        self.process(frame[0], frame[1], frame_id, t=t)
+
+    def _init_consume(self, imgs, frame_ids):
+        # stereo init is single-frame (depth-backed); StereoInertialSLAM
+        # does not inherit StereoSLAM, so mirror its override here (the
+        # mono batched two-view init would otherwise be picked up)
+        self._process_one(imgs[0], frame_ids[0])
+        return 1
+
+    def _batch_track(self, prep, vel, cm):
+        return StereoSLAM._batch_track(self, prep, vel, cm)
+
+    def _batch_retrack(self, rolled, aux_rolled, vel, cm):
+        return StereoSLAM._batch_retrack(self, rolled, aux_rolled, vel, cm)
+
+    def _prep_batch(self, frames, n_pad):
+        return StereoSLAM._prep_batch(self, frames, n_pad)
+
     # ------------------------------------------------------------------
     # throughput mode (round-4: the BASELINE gate config is stereo-inertial
     # and previously had no batched path at all)
@@ -791,9 +841,19 @@ class StereoInertialSLAM(MonoInertialSLAM):
             ts = [float(f) / cfg.fps for f in frame_ids]
         i = 0
         n = len(imgs)
-        while i < n and (self.state == NOT_INITIALIZED or self.imu_stage == 0):
-            self.process(imgs[i][0], imgs[i][1], frame_ids[i], t=ts[i])
-            i += 1
+        if self.state == NOT_INITIALIZED or self.imu_stage == 0:
+            # visual accumulation phase: run the BATCHED visual stereo walk
+            # (one frontend dispatch + scan tracking); per-frame time/IMU
+            # bookkeeping rides the `_on_batch_frame` hook, keyframes land
+            # on the inertial chain via the stage-0 `_insert_keyframe`
+            # override, and the staged IMU init is checked at the batch
+            # boundary (the <=0.8 s check delay is immaterial against the
+            # reference's ~2 s init schedule)
+            self._frame_times = dict(zip(frame_ids, ts))
+            StereoSLAM.process_batch(self, imgs, frame_ids)
+            self._cur_time = ts[-1]
+            self._try_imu_init(ts[-1])
+            return self.trajectory[-1] if self.trajectory else None
         if i >= n:
             return self.trajectory[-1] if self.trajectory else None
 
@@ -880,7 +940,11 @@ class StereoInertialSLAM(MonoInertialSLAM):
                         uvr=uvr_cur[k], depth=depth_cur[k],
                     )
                     self._try_imu_init(t_j)
-                    if j + 1 < B:
+                    # the remaining frames' results (computed against the
+                    # pre-KF anchor) stay valid — IMU prediction spans just
+                    # grow by <1 batch; re-dispatching halved throughput.
+                    # cfg.retrack_after_kf opts back into the re-dispatch.
+                    if cfg.retrack_after_kf and j + 1 < B:
                         k_kf = j
                         break
             if k_kf is None:

@@ -319,6 +319,10 @@ class MonoSLAM:
     def _process_one(self, frame, frame_id):
         self.process(frame, frame_id)
 
+    def _on_batch_frame(self, frame_id):
+        """Per-committed-frame hook inside the batch walk (the inertial
+        mixin uses it for time/IMU bookkeeping); no-op for visual."""
+
     def _prep_batch(self, frames, n_pad):
         if isinstance(frames[0], jnp.ndarray):
             # device-resident frames (pre-staged input pipeline): stack on
@@ -482,6 +486,7 @@ class MonoSLAM:
             for k in range(n_real - pos):
                 j = pos + k          # batch index of this frame
                 d = j - offset       # index into this dispatch's outputs
+                self._on_batch_frame(ids[j])
                 n = int(n_np[d])
                 ok = n >= cfg.min_tracked_points
                 self._update_lost_state(ok)
