@@ -41,6 +41,7 @@ from orb_slam3_noted_tpu.ops import orb as O
 from orb_slam3_noted_tpu.pipeline import inertial_mapping as IMAP
 from orb_slam3_noted_tpu.pipeline import map_state as MS
 from orb_slam3_noted_tpu.pipeline import tracking as T
+from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
 from orb_slam3_noted_tpu.pipeline.system import (
     NOT_INITIALIZED,
     OK,
@@ -178,6 +179,13 @@ class InertialMixin:
         keyframes moved < 2 cm in total, inertial init was unobservable —
         reset the map.  Returns True when a reset happened."""
         if not (1 <= self.imu_stage < 3) or len(self.kf_order) < 3:
+            return False
+        # the 2-cm test is only meaningful over a real time baseline: the
+        # visual KF policy can insert keyframes a frame apart (bunched
+        # <0.2 s), where even healthy motion covers <2 cm — firing there
+        # resets perfectly good maps (found on the bench's slow-phase
+        # trajectory).  The reference's KF cadence makes ~0.5 s implicit.
+        if self.kf_times[-1] - self.kf_times[-3] < 0.45:
             return False
         sl = self.kf_order[-3:]
         R = np.asarray(self.m.kf_Rcw[jnp.asarray(sl)])
@@ -656,45 +664,30 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
             )
             self._on_inertial_keyframe(self.last_kf_slot, t)
             return
-        # inertial path: insert KF + triangulate, then LocalInertialBA
+        # inertial path: ONE fused mapper dispatch (insert -> depth points
+        # -> triangulation over the top covisible neighbours, which include
+        # the temporal prev-KF for any normal inertial cadence -> fuse ->
+        # cull -> stats), then LocalInertialBA over the chain.  The old
+        # host-sequenced form (covisibility pull + per-neighbour
+        # triangulate dispatches) cost ~350 ms of round trips per keyframe.
         cfg = self.cfg
         slot = self.n_kf
-        uvr_arr = uvr if uvr is not None else jnp.full(
-            (cfg.n_features,), -1.0, jnp.float32
+        NF = cfg.n_features
+        uvr_arr = uvr if uvr is not None else jnp.full((NF,), -1.0,
+                                                       jnp.float32)
+        depth_arr = depth if depth is not None else jnp.full(
+            (NF,), -1.0, jnp.float32
         )
-        m = MS.add_keyframe(
-            self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
-            feats.xy, feats.level, feats.angle, feats.desc, feats.valid,
-            mp_of_feat, uvr_arr,
-        )
+        with TIMER.stage("insert_keyframe"):
+            self.m, n_mp = T.insert_keyframe_step(
+                self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
+                feats, mp_of_feat, uvr_arr, depth_arr,
+                self._n_mp_for_device(), self.cam, cfg,
+                n_neighbors=cfg.triangulate_neighbors, bf=cfg.bf,
+                has_depth=depth is not None, xy_r=xy_r, visual_ba=False,
+            )
+            self._n_mp_pending = n_mp
         self.n_kf += 1
-        if depth is not None and self.n_mp < cfg.max_map_points - cfg.n_features:
-            out = T.stereo_points_from_depth(
-                m, jnp.int32(slot), depth, self.cam, cfg, bf=cfg.bf
-            )
-            m, _ = self._add_candidates(m, slot, out)
-        w = np.asarray(MS.covisibility_weights(m, jnp.int32(slot)))
-        neighbors = list(np.argsort(-w)[:2])
-        # inertial temporal chain: always try the previous chain keyframe
-        # too (reference `src/LocalMapping.cc:412-422` walks mPrevKF when
-        # the covisible set is small)
-        if self.kf_order and self.kf_order[-1] not in neighbors:
-            neighbors.append(self.kf_order[-1])
-        for nb in neighbors:
-            if self.n_mp >= cfg.max_map_points - cfg.n_features:
-                continue
-            if w[nb] <= 0 and nb != (self.kf_order[-1] if self.kf_order else -1):
-                continue
-            out = T.triangulate_between(
-                m, jnp.int32(slot), jnp.int32(nb), self.cam, cfg
-            )
-            m, _ = self._add_candidates(m, slot, out, kf_b=int(nb))
-        mp_mask, _ = MS.local_map_mask(
-            m, jnp.int32(slot), n_neighbors=cfg.local_window
-        )
-        m = T.fuse_map_points(m, jnp.int32(slot), mp_mask, self.cam, cfg)
-        m = MS.cull_map_points(m, jnp.int32(slot))
-        self.m = m
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
@@ -914,6 +907,7 @@ class StereoInertialSLAM(MonoInertialSLAM):
                 )
 
             k_kf = None
+            inserted_this_dispatch = False
             for k in range(B - pos):
                 j = pos + k
                 t_j = tss[j]
@@ -930,6 +924,15 @@ class StereoInertialSLAM(MonoInertialSLAM):
                     nk, tracked_close=int(tc_np[k]),
                     nontracked_close=int(ntc_np[k]),
                 )
+                # after a mid-dispatch keyframe the remaining inlier counts
+                # still reflect the PRE-keyframe anchor: the visual
+                # low-inlier trigger would re-fire every frame and flood
+                # the chain — only the inertial 0.5 s rule stays valid
+                if (
+                    need and inserted_this_dispatch
+                    and self.kf_times and t_j - self.kf_times[-1] < 0.45
+                ):
+                    need = False
                 if need:
                     # the chain segment must span anchor -> this frame
                     self.since_kf = self.imu.interval(t_kf, t_j)
@@ -939,6 +942,7 @@ class StereoInertialSLAM(MonoInertialSLAM):
                         feats_k, ids[j], Rs[k], ts_d[k], mp_feats[k], nk,
                         uvr=uvr_cur[k], depth=depth_cur[k],
                     )
+                    inserted_this_dispatch = True
                     self._try_imu_init(t_j)
                     # the remaining frames' results (computed against the
                     # pre-KF anchor) stay valid — IMU prediction spans just

@@ -823,7 +823,8 @@ def _add_candidates_dev(m, slot, out, n_mp, kf_b_override=None):
 
 @partial(
     jax.jit,
-    static_argnames=("cam", "cfg", "n_neighbors", "bf", "has_depth"),
+    static_argnames=("cam", "cfg", "n_neighbors", "bf", "has_depth",
+                     "visual_ba"),
 )
 def insert_keyframe_step(
     m: MS.MapArrays,
@@ -842,6 +843,7 @@ def insert_keyframe_step(
     bf: float = 0.0,
     has_depth: bool = False,
     xy_r: jnp.ndarray | None = None,   # (NF, 2) right-camera obs (fisheye)
+    visual_ba: bool = True,
 ):
     """ONE device dispatch for the whole synchronous mapper pass.
 
@@ -895,11 +897,17 @@ def insert_keyframe_step(
     m = MS.update_point_stats(
         m, mp_mask, n_levels=cfg.n_levels, scale_factor=cfg.scale_factor
     )
-    m = local_ba(m, slot, cam, cfg, window=cfg.local_window, bf=bf)
-    protect = (
-        jnp.zeros(m.kf_valid.shape[0], bool).at[slot].set(True).at[0].set(True)
-    )
-    m = MS.cull_keyframes(m, kf_mask, protect)
+    if visual_ba:
+        m = local_ba(m, slot, cam, cfg, window=cfg.local_window, bf=bf)
+        protect = (
+            jnp.zeros(m.kf_valid.shape[0], bool)
+            .at[slot].set(True).at[0].set(True)
+        )
+        m = MS.cull_keyframes(m, kf_mask, protect)
+    # visual_ba=False: the inertial caller runs LocalInertialBA over the
+    # temporal chain instead (and owns keyframe-culling policy) — this
+    # fused dispatch still covers insert -> depth points -> triangulation
+    # -> fuse -> point cull -> stats refresh in one device program
     return m, n_mp
 
 
