@@ -395,7 +395,10 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _accept(self, slam, slot, cand, res, covis=None):
         """Run the correction and record the accepted loop."""
-        self._correct(slam, slot, cand, res, covis=covis)
+        from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER
+
+        with GLOBAL_TIMER.stage("loop_correct"):
+            self._correct(slam, slot, cand, res, covis=covis)
         self.loop_edges.append((slot, cand))
         self.loops_closed += 1
         self.last_loop_kf = slot

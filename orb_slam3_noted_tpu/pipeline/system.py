@@ -126,9 +126,10 @@ class MonoSLAM:
     def flush(self):
         """Drain deferred loop-closing work (one bulk pull)."""
         if self._pending_loops:
-            pendings, self._pending_loops = self._pending_loops, []
-            if self.loop_closer.finish_detect_many(self, pendings):
-                self.state = OK
+            with TIMER.stage("loop_drain"):
+                pendings, self._pending_loops = self._pending_loops, []
+                if self.loop_closer.finish_detect_many(self, pendings):
+                    self.state = OK
         if self.loop_closer is not None:
             self.loop_closer.finish_gba(self)
         return self
@@ -138,7 +139,8 @@ class MonoSLAM:
         boundary — the single-chip stand-in for the reference's background
         GBA thread (`src/LoopClosing.cc:1090-1097`)."""
         if self.loop_closer is not None:
-            self.loop_closer.service_gba(self, n_steps=1)
+            with TIMER.stage("background_slice"):
+                self.loop_closer.service_gba(self, n_steps=1)
 
     # ------------------------------------------------------------------
     def _refill_free_slots(self, kf_valid: np.ndarray):
