@@ -26,31 +26,69 @@ import time
 import numpy as np
 
 
-def build_system(cfg, mode):
+def resolve_mode(cfg, mode):
+    """Route stereo modes to the fisheye systems when the settings file
+    carries a second camera (the reference switches on Camera.type +
+    Camera2 presence, `/root/reference/src/Tracking.cc:724-815`)."""
+    if cfg.camera2 is not None:
+        if mode == "stereo":
+            return "fisheye-stereo"
+        if mode == "stereo-inertial":
+            return "fisheye-stereo-inertial"
+    return mode
+
+
+def build_system(cfg, mode, atlas=False):
     from orb_slam3_noted_tpu.pipeline.inertial_system import (
+        FisheyeStereoInertialSLAM,
         MonoInertialSLAM,
         StereoInertialSLAM,
     )
-    from orb_slam3_noted_tpu.pipeline.system import MonoSLAM, RGBDSLAM, StereoSLAM
+    from orb_slam3_noted_tpu.pipeline.system import (
+        FisheyeStereoSLAM,
+        MonoSLAM,
+        RGBDSLAM,
+        StereoSLAM,
+    )
 
-    return {
+    cls = {
         "mono": MonoSLAM,
         "stereo": StereoSLAM,
         "rgbd": RGBDSLAM,
+        "fisheye-stereo": FisheyeStereoSLAM,
         "mono-inertial": MonoInertialSLAM,
         "stereo-inertial": StereoInertialSLAM,
-    }[mode](cfg)
+        "fisheye-stereo-inertial": FisheyeStereoInertialSLAM,
+    }[mode]
+    if atlas:
+        # multi-session / multi-map driver (reference
+        # `Examples/euroc_examples.sh:15`: MH01->MH05 into one Atlas)
+        if mode.endswith("inertial"):
+            from orb_slam3_noted_tpu.pipeline.inertial_atlas import (
+                InertialAtlasSLAM,
+            )
+
+            return InertialAtlasSLAM(cfg, base_cls=cls)
+        from orb_slam3_noted_tpu.pipeline.atlas import AtlasSLAM
+
+        return AtlasSLAM(cfg, base_cls=cls, fix_scale=cfg.bf > 0)
+    return cls(cfg)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataset", choices=["euroc", "tumvi", "kitti"],
+    p.add_argument("--dataset",
+                   choices=["euroc", "tumvi", "kitti", "tum-rgbd"],
                    default="euroc")
-    p.add_argument("--seq", required=True, help="sequence directory")
+    p.add_argument("--seq", required=True, action="append",
+                   help="sequence directory (repeat for multi-session)")
     p.add_argument("--settings", required=True, help="reference-format YAML")
     p.add_argument("--mode", default="stereo",
-                   choices=["mono", "stereo", "rgbd",
-                            "mono-inertial", "stereo-inertial"])
+                   choices=["mono", "stereo", "rgbd", "fisheye-stereo",
+                            "mono-inertial", "stereo-inertial",
+                            "fisheye-stereo-inertial"])
+    p.add_argument("--atlas", action="store_true",
+                   help="multi-map Atlas driver (auto on with >1 --seq)")
     p.add_argument("--out", default="trajectory.txt")
     p.add_argument("--format", default="tum", choices=["tum", "euroc", "kitti"])
     p.add_argument("--max-frames", type=int, default=0)
@@ -77,83 +115,116 @@ def main(argv=None):
         StageTimer.enabled = True
 
     cfg, imu_params = load_settings(args.settings)
-    stereo = args.mode in ("stereo", "stereo-inertial")
-    inertial = args.mode.endswith("inertial")
+    mode = resolve_mode(cfg, args.mode)
+    stereo = mode in ("stereo", "stereo-inertial",
+                      "fisheye-stereo", "fisheye-stereo-inertial")
+    rgbd = mode == "rgbd"
+    inertial = mode.endswith("inertial")
 
-    if args.dataset == "euroc":
-        seq = D.load_euroc(args.seq, stereo=stereo, with_imu=inertial)
-    elif args.dataset == "tumvi":
-        seq = D.load_tum_vi(args.seq, stereo=stereo, with_imu=inertial)
-    else:
-        seq = D.load_kitti(args.seq, stereo=stereo)
+    def load_seq(seq_dir):
+        if args.dataset == "euroc":
+            return D.load_euroc(seq_dir, stereo=stereo, with_imu=inertial)
+        if args.dataset == "tumvi":
+            return D.load_tum_vi(seq_dir, stereo=stereo, with_imu=inertial)
+        if args.dataset == "tum-rgbd":
+            return D.load_tum_rgbd(seq_dir)
+        return D.load_kitti(seq_dir, stereo=stereo)
+
+    seqs = [load_seq(sd) for sd in args.seq]
+    use_atlas = args.atlas or len(seqs) > 1
 
     rect = None
-    try:
-        r = load_stereo_rectification(args.settings)
-        if r:
-            rect = (D.make_rectify_maps(r), )
-    except Exception:
-        rect = None
+    if mode in ("stereo", "stereo-inertial"):
+        # LEFT./RIGHT. rectification blocks apply only to the rectified
+        # stereo modes (the reference's example drivers); fisheye runs raw
+        try:
+            r = load_stereo_rectification(args.settings)
+            if r:
+                rect = (D.make_rectify_maps(r), )
+        except Exception:
+            rect = None
 
-    slam = build_system(cfg, args.mode)
+    slam = build_system(cfg, mode, atlas=use_atlas)
     if args.checkpoint_in:
         from orb_slam3_noted_tpu.io.checkpoint import load_map
 
         load_map(args.checkpoint_in, slam)
 
-    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     batch = max(args.batch, 1)
-    if batch > 1 and args.mode == "mono-inertial":
-        batch = 1  # no batched path for mono-inertial yet
+    if batch > 1 and (mode == "mono-inertial" or rgbd or use_atlas):
+        batch = 1  # per-frame modes
 
-    def read_frame(i):
-        imgs = seq.read(i)
-        if rect is not None and stereo:
-            maps_l, maps_r = rect[0]
-            imgs = (D.rectify(imgs[0], maps_l), D.rectify(imgs[1], maps_r))
-        return imgs
-
-    t_prev = None
     t_start = time.time()
-    stamps = [float(t) for t in seq.timestamps[:n]]
-    i = 0
-    while i < n:
-        j = min(i + batch, n)
-        if batch == 1:
-            ts = stamps[i]
-            imgs = read_frame(i)
-            kw = {}
-            if inertial and seq.imu is not None:
-                lo = t_prev if t_prev is not None else ts - 1.0
-                chunk = seq.imu.between(lo, ts)
-                kw = dict(t=ts, acc=chunk.acc, gyr=chunk.gyr, imu_t=chunk.t)
-            with GLOBAL_TIMER.stage("frame_total"):
-                if stereo:
-                    slam.process(imgs[0], imgs[1], i, **kw)
-                elif inertial:
-                    slam.process(imgs, i, **kw)
-                else:
-                    slam.process(imgs, i)
-            t_prev = ts
-        else:
-            frames = [read_frame(k) for k in range(i, j)]
-            kw = {}
-            if inertial and seq.imu is not None:
-                lo = t_prev if t_prev is not None else stamps[i] - 1.0
-                chunk = seq.imu.between(lo, stamps[j - 1])
-                kw = dict(ts=stamps[i:j], acc=chunk.acc, gyr=chunk.gyr,
-                          imu_t=chunk.t)
-            with GLOBAL_TIMER.stage("frame_total"):
-                slam.process_batch(frames, list(range(i, j)), **kw)
-            t_prev = stamps[j - 1]
-        if (i // max(batch, 1)) % max(50 // max(batch, 1), 1) == 0:
-            ok = slam.trajectory[-1].state if slam.trajectory else "-"
-            print(f"[{i}/{n}] state={ok} kf={slam.n_kf} mp={slam.n_mp}",
-                  file=sys.stderr)
-        i = j
+    stamps = []          # global per-frame timestamps across sequences
+    n_total = 0
+    budget = args.max_frames if args.max_frames > 0 else 10**9
+    for si, seq in enumerate(seqs):
+        n = min(len(seq), budget - n_total)
+        if n <= 0:
+            break
+        off = n_total       # global frame-id offset for this sequence
+        seq_stamps = [float(t) for t in seq.timestamps[:n]]
+        stamps.extend(seq_stamps)
+
+        def read_frame(i):
+            imgs = seq.read(i)
+            if rect is not None and stereo:
+                maps_l, maps_r = rect[0]
+                imgs = (D.rectify(imgs[0], maps_l),
+                        D.rectify(imgs[1], maps_r))
+            return imgs
+
+        t_prev = None
+        i = 0
+        while i < n:
+            j = min(i + batch, n)
+            if batch == 1:
+                ts = seq_stamps[i]
+                imgs = read_frame(i)
+                kw = {}
+                if inertial and seq.imu is not None:
+                    lo = t_prev if t_prev is not None else ts - 1.0
+                    chunk = seq.imu.between(lo, ts)
+                    kw = dict(t=ts, acc=chunk.acc, gyr=chunk.gyr,
+                              imu_t=chunk.t)
+                with GLOBAL_TIMER.stage("frame_total"):
+                    if stereo or rgbd:
+                        slam.process(imgs[0], imgs[1], off + i, **kw)
+                    elif inertial:
+                        slam.process(imgs, off + i, **kw)
+                    else:
+                        slam.process(imgs, off + i)
+                t_prev = ts
+            else:
+                frames = [read_frame(k) for k in range(i, j)]
+                kw = {}
+                if inertial and seq.imu is not None:
+                    lo = t_prev if t_prev is not None else seq_stamps[i] - 1.0
+                    chunk = seq.imu.between(lo, seq_stamps[j - 1])
+                    kw = dict(ts=seq_stamps[i:j], acc=chunk.acc,
+                              gyr=chunk.gyr, imu_t=chunk.t)
+                with GLOBAL_TIMER.stage("frame_total"):
+                    slam.process_batch(
+                        frames, list(range(off + i, off + j)), **kw
+                    )
+                t_prev = seq_stamps[j - 1]
+            if (i // max(batch, 1)) % max(50 // max(batch, 1), 1) == 0:
+                ok = slam.trajectory[-1].state if slam.trajectory else "-"
+                print(
+                    f"[seq{si} {i}/{n}] state={ok} kf={slam.n_kf} "
+                    f"mp={slam.n_mp}", file=sys.stderr,
+                )
+            i = j
+        n_total += n
+        if si + 1 < len(seqs) and hasattr(slam, "on_sequence_end"):
+            # multi-session boundary: stash the active map so the next
+            # sequence starts fresh and merges on revisit (reference
+            # multi-session Atlas protocol)
+            slam.on_sequence_end()
     if hasattr(slam, "flush"):
         slam.flush()
     wall = time.time() - t_start
+    n = n_total
 
     class _Rec:
         __slots__ = ("timestamp", "Rcw", "tcw")
@@ -197,7 +268,7 @@ def main(argv=None):
         if int(ok_assoc.sum()) >= 3:
             rmse, _, (_, _, s) = ate_rmse(
                 est_p[ok_assoc], np.asarray(seq.gt_pos)[gi[ok_assoc]],
-                with_scale=args.mode.startswith("mono"),
+                with_scale=mode.startswith("mono"),
             )
             result["ate_rmse_m"] = round(float(rmse), 4)
             result["align_scale"] = round(float(s), 4)
@@ -210,6 +281,9 @@ def main(argv=None):
 
     if args.times:
         GLOBAL_TIMER.print_stats(file=sys.stderr)
+        from orb_slam3_noted_tpu.utils.timing import print_saturation
+
+        print_saturation(file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -35,6 +35,8 @@ class Sequence:
     imu: ImuData | None = None
     gt_t: np.ndarray | None = None   # ground truth timestamps
     gt_pos: np.ndarray | None = None  # (G, 3)
+    depth_paths: list | None = None  # RGB-D: registered depth image per frame
+    depth_factor: float = 5000.0     # TUM-RGBD 16-bit depth scale (m = px/f)
 
     def __len__(self):
         return len(self.timestamps)
@@ -83,8 +85,17 @@ class Sequence:
 
         Feeds through the native prefetcher (reference's producer/consumer
         image pipeline, SURVEY §2.3 row "queues") with a cv2 fallback.
+        RGB-D sequences return (gray, depth_m) with depth in meters.
         """
         left = self._read_side(self.left_paths, i, "_lloader")
+        if self.depth_paths is not None:
+            import cv2
+
+            d = cv2.imread(self.depth_paths[i], cv2.IMREAD_UNCHANGED)
+            if d is None:
+                raise FileNotFoundError(self.depth_paths[i])
+            depth = d.astype(np.float32) / self.depth_factor
+            return left, depth
         if self.right_paths is not None:
             right = self._read_side(self.right_paths, i, "_rloader")
             return left, right
@@ -142,6 +153,64 @@ def load_euroc(seq_dir: str, stereo: bool = True, with_imu: bool = True) -> Sequ
 def load_tum_vi(seq_dir: str, stereo: bool = True, with_imu: bool = True) -> Sequence:
     """TUM-VI uses the same mav0/ layout as EuRoC."""
     return load_euroc(seq_dir, stereo=stereo, with_imu=with_imu)
+
+
+def _read_tum_list(path):
+    """Parse a TUM-RGBD index file (``timestamp filename`` per line)."""
+    ts, files = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.strip().split()
+            ts.append(float(parts[0]))
+            files.append(parts[1])
+    return np.asarray(ts), files
+
+
+def associate(t_a: np.ndarray, t_b: np.ndarray, max_dt: float = 0.02):
+    """Timestamp association (reference ``evaluation/associate.py``):
+    greedy nearest-neighbour pairing within ``max_dt``.  Returns
+    (idx_a, idx_b) of matched rows."""
+    ia, ib = [], []
+    j = 0
+    used = np.zeros(len(t_b), bool)
+    for i, ta in enumerate(t_a):
+        j = int(np.searchsorted(t_b, ta))
+        best, bd = -1, max_dt
+        for k in (j - 1, j):
+            if 0 <= k < len(t_b) and not used[k]:
+                d = abs(t_b[k] - ta)
+                if d < bd:
+                    best, bd = k, d
+        if best >= 0:
+            used[best] = True
+            ia.append(i)
+            ib.append(best)
+    return np.asarray(ia, int), np.asarray(ib, int)
+
+
+def load_tum_rgbd(seq_dir: str, depth_factor: float = 5000.0) -> Sequence:
+    """TUM-RGBD layout: rgb.txt / depth.txt / groundtruth.txt
+    (reference `Examples/RGB-D/rgbd_tum.cc` + ``associate.py``: rgb and
+    depth streams are unsynchronized and must be timestamp-associated)."""
+    t_rgb, rgb_files = _read_tum_list(os.path.join(seq_dir, "rgb.txt"))
+    t_d, d_files = _read_tum_list(os.path.join(seq_dir, "depth.txt"))
+    ia, ib = associate(t_rgb, t_d)
+    ts = t_rgb[ia]
+    left = [os.path.join(seq_dir, rgb_files[i]) for i in ia]
+    depth = [os.path.join(seq_dir, d_files[i]) for i in ib]
+
+    gt_t = gt_pos = None
+    gt_file = os.path.join(seq_dir, "groundtruth.txt")
+    if os.path.exists(gt_file):
+        raw = np.loadtxt(gt_file, comments="#")
+        gt_t = raw[:, 0]
+        gt_pos = raw[:, 1:4]
+    return Sequence(
+        ts, left, None, None, gt_t, gt_pos,
+        depth_paths=depth, depth_factor=depth_factor,
+    )
 
 
 def load_kitti(seq_dir: str, stereo: bool = True) -> Sequence:

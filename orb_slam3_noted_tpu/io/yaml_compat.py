@@ -62,8 +62,48 @@ def load_settings(path: str):
         ]
         dist = tuple(d) if any(abs(x) > 0 for x in d) else ()
 
+    # --- second camera: non-rectified fisheye stereo (reference
+    # ``Tracking::ParseCamParamFile`` Camera2.* + Tlr + lapping areas,
+    # `/root/reference/src/Tracking.cc:724-815`; schema:
+    # `Examples/Stereo-Inertial/TUM_512.yaml`) ---
+    cam2 = None
+    tlr_r: tuple = ()
+    tlr_t = (0.0, 0.0, 0.0)
+    lap_l = (0.0, 1e9)
+    lap_r = (0.0, 1e9)
+    fx2 = _read(fs, "Camera2.fx")
+    if fx2 is not None:
+        p2 = [float(fx2), float(_read(fs, "Camera2.fy")),
+              float(_read(fs, "Camera2.cx")), float(_read(fs, "Camera2.cy"))]
+        if cam_type == "KannalaBrandt8":
+            p2 += [float(_read(fs, f"Camera2.k{i+1}", 0.0) or 0.0)
+                   for i in range(4)]
+            cam2 = Camera(KANNALA_BRANDT8, tuple(p2))
+        else:
+            cam2 = Camera(PINHOLE, tuple(p2))
+        tlr = _read(fs, "Tlr")
+        if tlr is not None:
+            tlr = np.asarray(tlr, np.float64)
+            if tlr.size == 16:
+                tlr = tlr.reshape(4, 4)
+            else:
+                tlr = tlr.reshape(3, 4)
+            tlr_r = tuple(tlr[:3, :3].reshape(-1).tolist())
+            tlr_t = tuple(tlr[:3, 3].tolist())
+        lb = _read(fs, "Camera.lappingBegin")
+        le = _read(fs, "Camera.lappingEnd")
+        if lb is not None and le is not None:
+            lap_l = (float(lb), float(le))
+        lb2 = _read(fs, "Camera2.lappingBegin")
+        le2 = _read(fs, "Camera2.lappingEnd")
+        if lb2 is not None and le2 is not None:
+            lap_r = (float(lb2), float(le2))
+
     cfg = SlamConfig(
         camera=camera,
+        camera2=cam2,
+        tlr_r=tlr_r, tlr_t=tlr_t,
+        lapping_l=lap_l, lapping_r=lap_r,
         width=int(_read(fs, "Camera.width", 752)),
         height=int(_read(fs, "Camera.height", 480)),
         fps=float(_read(fs, "Camera.fps", 30.0)),

@@ -87,17 +87,23 @@ def _eval_blocks(cam, Rcw, tcw, points, obs, prob, active, use_huber, bf,
     return W, Hpp, gp, Hll, gl, cost
 
 
-def _schur_matvec(x, W, Hpp_d, Cinv, pose_idx, point_idx, K, M, psum=None):
+def _schur_matvec(x, W, Hpp_d, Cinv, pose_idx, point_idx, K, M, psum=None,
+                  psum_pt="same"):
     """S @ x without materializing S or U; O(O) per call.
 
-    ``psum``: optional (name) -> reduce partial segment sums over a mesh
-    axis (the distributed path shards the observation axis).
+    ``psum``: optional reducer for pose-indexed partial segment sums over
+    a mesh axis.  ``psum_pt``: reducer for POINT-indexed sums — pass None
+    when every observation of a point lives on one shard (point-local
+    layout): the (M, 3) reduction then vanishes and each CG iteration
+    communicates only the (K, 6) pose vector.
     """
+    if psum_pt == "same":
+        psum_pt = psum
     # U^T x: (M, 3) = sum over obs of W_o^T x[pose]
     utx_o = jnp.einsum("oij,oi->oj", W, x[pose_idx], precision=_HP)
     utx = jax.ops.segment_sum(utx_o, point_idx, M)
-    if psum is not None:
-        utx = psum(utx)
+    if psum_pt is not None:
+        utx = psum_pt(utx)
     y = jnp.einsum("mij,mj->mi", Cinv, utx, precision=_HP)      # Hll^-1 U^T x
     # U y: (K, 6)
     uy_o = jnp.einsum("oij,oj->oi", W, y[point_idx], precision=_HP)
@@ -137,18 +143,25 @@ def _pcg(matvec, Pinv, b, n_iters):
 
 
 def _gba_lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber,
-                 lam, bf, cg_iters, psum=None, cam2=None, Rrl=None, trl=None):
+                 lam, bf, cg_iters, psum=None, cam2=None, Rrl=None, trl=None,
+                 point_local=False):
+    """One LM step.  ``point_local=True``: the observation shard owns every
+    row of its points (covisibility-style point partitioning) — point-
+    indexed reductions are skipped and only the landmark UPDATE ``dl`` is
+    reduced once at the end (each shard contributes its owned points; the
+    rest are exactly zero)."""
     K = Rcw.shape[0]
     M = points.shape[0]
     dtype = tcw.dtype
+    psum_pt = None if point_local else psum
     W, Hpp, gp, Hll, gl, cost_old = _eval_blocks(
         cam, Rcw, tcw, points, obs, prob, active, use_huber, bf,
         cam2=cam2, Rrl=Rrl, trl=trl,
     )
     if psum is not None:
-        Hpp, gp, Hll, gl, cost_old = (
-            psum(Hpp), psum(gp), psum(Hll), psum(gl), psum(cost_old)
-        )
+        Hpp, gp, cost_old = psum(Hpp), psum(gp), psum(cost_old)
+    if psum_pt is not None:
+        Hll, gl = psum_pt(Hll), psum_pt(gl)
     eye6 = jnp.eye(6, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
     Hpp_d = (
@@ -174,16 +187,22 @@ def _gba_lm_step(cam, Rcw, tcw, points, obs, prob, active, use_huber,
 
     rhs = -gp + _schur_rhs_coupling(W, Cinv, gl, obs, K, psum)
     mv = lambda x: _schur_matvec(
-        x, W, Hpp_d, Cinv, obs.pose_idx, obs.point_idx, K, M, psum
+        x, W, Hpp_d, Cinv, obs.pose_idx, obs.point_idx, K, M, psum,
+        psum_pt=psum_pt,
     )
     dp = _pcg(mv, Pinv, rhs, cg_iters)
 
     # back-substitute landmarks: dl = Hll^-1 (-gl - U^T dp)
     utdp_o = jnp.einsum("oij,oi->oj", W, dp[obs.pose_idx], precision=_HP)
     utdp = jax.ops.segment_sum(utdp_o, obs.point_idx, M)
-    if psum is not None:
-        utdp = psum(utdp)
+    if psum_pt is not None:
+        utdp = psum_pt(utdp)
     dl = jnp.einsum("mij,mj->mi", Cinv, -gl - utdp, precision=_HP)
+    if point_local and psum is not None:
+        # non-owned rows are exactly zero on each shard: one reduction
+        # replicates the full landmark update (the only M-sized collective
+        # per LM step — everything in the CG loop was (K, 6))
+        dl = psum(dl)
 
     R_new, t_new = se3.compose(se3.exp(dp), (Rcw, tcw))
     R_new = so3.normalize(R_new)
@@ -273,6 +292,141 @@ def global_bundle_adjust(
     )
 
 
+def _gba_lm_step_ptblock(cam, Rcw, tcw, points, obs, prob, active,
+                         use_huber, lam, bf, cg_iters, axis,
+                         cam2=None, Rrl=None, trl=None):
+    """LM step with the landmark table BLOCK-PARTITIONED over the mesh.
+
+    The map-partitioning half of the BASELINE north star at landmark
+    granularity: shard s owns the contiguous point block
+    [s*Mb, (s+1)*Mb) and every observation of an owned point lives on the
+    shard (layout from ``parallel.dist_ba.shard_obs_by_point_block``).
+    Per shard, the point-indexed state (Hll, Cinv, gl, dl) exists ONLY for
+    the owned (Mb,) block — nothing point-sized is replicated or psum'd:
+
+    - the CG loop communicates one (K, 6) psum per iteration,
+    - the landmark update is one tiled all_gather of (Mb, 3) per LM step,
+    - pose-side reductions (Hpp, gp, preconditioner, cost) are unchanged.
+    """
+    import jax as _jax
+
+    K = Rcw.shape[0]
+    M = points.shape[0]
+    dtype = tcw.dtype
+    n_shards = _jax.lax.psum(1, axis)
+    Mb = M // n_shards
+    s_idx = _jax.lax.axis_index(axis)
+    base = s_idx * Mb
+    psum = lambda x: _jax.lax.psum(x, axis)
+
+    # local landmark block + local observation point ids
+    pts_loc = _jax.lax.dynamic_slice_in_dim(points, base, Mb)
+    pfix_loc = _jax.lax.dynamic_slice_in_dim(
+        prob.point_fixed.astype(dtype), base, Mb
+    )
+    pidx_loc = jnp.clip(obs.point_idx - base, 0, Mb - 1)
+
+    r, Jp, Jl, chi2, ok, _ = factors.reproj_residuals(
+        cam, Rcw, tcw, pts_loc,
+        obs._replace(valid=active, point_idx=pidx_loc), bf=bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
+    )
+    delta2 = chi2_threshold(obs)
+    w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
+    w = jnp.where(ok, obs.inv_sigma2 * w_rob, 0.0)
+    cost_old = psum(jnp.sum(
+        jnp.where(ok, jnp.where(use_huber, huber_cost(chi2, delta2), chi2),
+                  0.0)
+    ))
+    pose_free = (~prob.pose_fixed).astype(dtype)
+    point_free = 1.0 - pfix_loc
+    Jp = Jp * pose_free[obs.pose_idx][:, None, None]
+    Jl = Jl * point_free[pidx_loc][:, None, None]
+
+    wJp = w[:, None, None] * Jp
+    W = jnp.einsum("oai,oaj->oij", wJp, Jl, precision=_HP)
+    Hpp = psum(jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", wJp, Jp, precision=_HP), obs.pose_idx, K
+    ))
+    gp = psum(jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", Jp, w[:, None] * r, precision=_HP),
+        obs.pose_idx, K,
+    ))
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("oai,oaj->oij", w[:, None, None] * Jl, Jl, precision=_HP),
+        pidx_loc, Mb,
+    )
+    gl = jax.ops.segment_sum(
+        jnp.einsum("oai,oa->oi", Jl, w[:, None] * r, precision=_HP),
+        pidx_loc, Mb,
+    )
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Hpp_d = (
+        Hpp + lam * Hpp * eye6
+        + (1e-8 + prob.pose_fixed.astype(dtype))[:, None, None] * eye6
+    )
+    Hll_d = (
+        Hll + lam * Hll * eye3
+        + (1e-8 + pfix_loc)[:, None, None] * eye3
+    )
+    Cinv = inv3(Hll_d)                      # (Mb, 3, 3) — owned block only
+
+    wc_o = jnp.einsum("oij,ojk->oik", W, Cinv[pidx_loc], precision=_HP)
+    wcw_o = jnp.einsum("oik,ojk->oij", wc_o, W, precision=_HP)
+    Pk = Hpp_d - psum(jax.ops.segment_sum(wcw_o, obs.pose_idx, K))
+    Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 1, 2)) + 1e-6 * eye6
+    Pinv = jnp.linalg.solve(Pk, jnp.broadcast_to(eye6, Pk.shape))
+
+    y0 = jnp.einsum("mij,mj->mi", Cinv, gl, precision=_HP)
+    rhs = -gp + psum(jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", W, y0[pidx_loc], precision=_HP),
+        obs.pose_idx, K,
+    ))
+
+    def mv(x):
+        utx = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", W, x[obs.pose_idx], precision=_HP),
+            pidx_loc, Mb,
+        )
+        y = jnp.einsum("mij,mj->mi", Cinv, utx, precision=_HP)
+        uy = psum(jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", W, y[pidx_loc], precision=_HP),
+            obs.pose_idx, K,
+        ))
+        return jnp.einsum("kij,kj->ki", Hpp_d, x, precision=_HP) - uy
+
+    dp = _pcg(mv, Pinv, rhs, cg_iters)
+
+    utdp = jax.ops.segment_sum(
+        jnp.einsum("oij,oi->oj", W, dp[obs.pose_idx], precision=_HP),
+        pidx_loc, Mb,
+    )
+    dl_loc = jnp.einsum("mij,mj->mi", Cinv, -gl - utdp, precision=_HP)
+    dl = _jax.lax.all_gather(dl_loc, axis, axis=0, tiled=True)  # (M, 3)
+
+    R_new, t_new = se3.compose(se3.exp(dp), (Rcw, tcw))
+    R_new = so3.normalize(R_new)
+    p_new = points + dl
+    pl_new = pts_loc + dl_loc
+    r2, _, _, chi2_2, ok2, _ = factors.reproj_residuals(
+        cam, R_new, t_new, pl_new,
+        obs._replace(valid=active, point_idx=pidx_loc), bf=bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
+    )
+    w_rob2 = jnp.where(use_huber, huber_weight(chi2_2, delta2), 1.0)
+    cost_new = psum(jnp.sum(jnp.where(
+        ok2, jnp.where(use_huber, huber_cost(chi2_2, delta2), chi2_2), 0.0
+    )))
+    better = cost_new < cost_old
+    Rcw = jnp.where(better, R_new, Rcw)
+    tcw = jnp.where(better, t_new, tcw)
+    points = jnp.where(better, p_new, points)
+    lam = jnp.where(better, lam * 0.5, lam * 5.0)
+    return Rcw, tcw, points, lam, jnp.where(better, cost_new, cost_old)
+
+
 def distributed_global_ba(
     cam: cam_mod.Camera,
     mesh,
@@ -300,10 +454,29 @@ def distributed_global_ba(
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    from orb_slam3_noted_tpu.parallel.dist_ba import pad_obs_for_mesh
+    from orb_slam3_noted_tpu.parallel.dist_ba import shard_obs_by_point_block
 
     axis = mesh.axis_names[0]
-    obs = pad_obs_for_mesh(prob.obs, mesh.size)
+    n_dev = mesh.size
+    # Landmark BLOCK partitioning (the map-partitioning north star at
+    # point granularity): shard s owns points [s*Mb, (s+1)*Mb) and every
+    # observation of an owned point lives on the shard.  Point-sized state
+    # (Hll, Cinv, dl) exists only per-block, the CG loop communicates one
+    # (K, 6) psum per iteration, and the landmark update is one tiled
+    # (Mb, 3) all_gather per LM step.  The round-4 layout replicated the
+    # whole point table AND psum'd (M, 3) arrays twice per CG iteration —
+    # the dominant terms of its 0.809 fixed-size scaling ratio.
+    M0 = prob.points.shape[0]
+    Mb = -(-M0 // n_dev)
+    Mpad = n_dev * Mb - M0
+    points_p = jnp.concatenate(
+        [prob.points, jnp.zeros((Mpad, 3), prob.points.dtype)]
+    ) if Mpad else prob.points
+    point_fixed_p = jnp.concatenate(
+        [prob.point_fixed, jnp.ones(Mpad, bool)]
+    ) if Mpad else prob.point_fixed
+    prob = prob._replace(points=points_p, point_fixed=point_fixed_p)
+    obs = shard_obs_by_point_block(prob.obs, n_dev, Mb)
     rep = P()
     shard = P(axis)
     # second-camera extrinsics ride along as replicated operands so fisheye
@@ -321,6 +494,10 @@ def distributed_global_ba(
                   jax.tree_util.tree_map(lambda _: shard, obs),
                   rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep),
+        # the tiled all_gather of the landmark update is replicated by
+        # construction but shard_map's varying-axes checker cannot prove
+        # it; the cost psums keep every shard's control flow in lockstep
+        check_vma=False,
     )
     def run(Rcw, tcw, points, obs_shard, p_fix, l_fix, Rrl_l, trl_l):
         psum = lambda x: jax.lax.psum(x, axis)
@@ -335,9 +512,9 @@ def distributed_global_ba(
         def phase(Rcw, tcw, points, active, use_huber, n):
             def body(_, st):
                 Rcw, tcw, points, lam = st
-                Rcw, tcw, points, lam, _ = _gba_lm_step(
+                Rcw, tcw, points, lam, _ = _gba_lm_step_ptblock(
                     cam, Rcw, tcw, points, obs_shard, prob_l, active,
-                    use_huber, lam, bf, cg_iters, psum=psum,
+                    use_huber, lam, bf, cg_iters, axis,
                     cam2=cam2_l, Rrl=Rrl_a, trl=trl_a,
                 )
                 return (Rcw, tcw, points, lam)
@@ -369,10 +546,11 @@ def distributed_global_ba(
         cost = psum(jnp.sum(jnp.where(inl, chi2, 0.0)))
         return Rcw, tcw, points, cost
 
-    return run(
+    Rf, tf, pf, cost = run(
         prob.Rcw, prob.tcw, prob.points, obs,
         prob.pose_fixed, prob.point_fixed, Rrl_in, trl_in,
     )
+    return Rf, tf, pf[:M0], cost
 
 
 def run_global_ba_mesh(m, cam, cfg, mesh, bf: float = 0.0,

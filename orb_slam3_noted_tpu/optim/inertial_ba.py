@@ -82,9 +82,11 @@ def no_prior(dtype=jnp.float32) -> VIPrior:
     )
 
 
-def _visual_eval(cam, st, calib, points, obs, active, use_huber, bf):
+def _visual_eval(cam, st, calib, points, obs, active, use_huber, bf,
+                 cam2=None, Rrl=None, trl=None):
     r, Jp, Jl, chi2, ok = body_reproj_residuals(
-        cam, st, calib, points, obs._replace(valid=active), bf=bf
+        cam, st, calib, points, obs._replace(valid=active), bf=bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     delta2 = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
     w_rob = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
@@ -117,7 +119,7 @@ def _inertial_eval(st, edges, prior, use_huber_inertial, bias_prior_g,
 
 
 def _vi_lm_step(cam, calib, st, points, prob, active, use_huber, lam, bf,
-                use_huber_inertial, bpg, bpa):
+                use_huber_inertial, bpg, bpa, cam2=None, Rrl=None, trl=None):
     K = st.twb.shape[0]
     M = points.shape[0]
     E = prob.edges.i.shape[0]
@@ -125,7 +127,8 @@ def _vi_lm_step(cam, calib, st, points, prob, active, use_huber, lam, bf,
     obs = prob.obs
 
     r, Jp6, Jl, chi2, w, ok, vcost = _visual_eval(
-        cam, st, calib, points, obs, active, use_huber, bf
+        cam, st, calib, points, obs, active, use_huber, bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     (ri, Ji, Jj, w_i), (rb, wb), (rp, Jpr), icost = _inertial_eval(
         st, prob.edges, prob.prior, use_huber_inertial, bpg, bpa
@@ -242,7 +245,8 @@ def _vi_lm_step(cam, calib, st, points, prob, active, use_huber, lam, bf,
     st_new = retract(st, dp)
     p_new = points + dl
     *_, vcost_new = _visual_eval(
-        cam, st_new, calib, p_new, obs, active, use_huber, bf
+        cam, st_new, calib, p_new, obs, active, use_huber, bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     *_, icost_new = _inertial_eval(
         st_new, prob.edges, prob.prior, use_huber_inertial, bpg, bpa
@@ -257,7 +261,7 @@ def _vi_lm_step(cam, calib, st, points, prob, active, use_huber, lam, bf,
 
 
 @partial(jax.jit, static_argnames=("cam", "bf", "n_iters", "n_iters_final",
-                                   "huber_inertial"))
+                                   "huber_inertial", "cam2"))
 def visual_inertial_ba(
     cam: cam_mod.Camera,
     calib: Calib,
@@ -268,6 +272,9 @@ def visual_inertial_ba(
     huber_inertial: bool = True,
     bias_prior_g: float = 0.0,
     bias_prior_a: float = 0.0,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ) -> VIBAResult:
     """LM over body states + landmarks with the reference's two-phase
     schedule (robust first phase, chi2 outlier cut, clean second phase)."""
@@ -282,7 +289,7 @@ def visual_inertial_ba(
             st, points, lam = s
             st, points, lam = _vi_lm_step(
                 cam, calib, st, points, prob, active, use_huber, lam, bf,
-                hub_i, bpg, bpa,
+                hub_i, bpg, bpa, cam2=cam2, Rrl=Rrl, trl=trl,
             )
             return (st, points, lam)
 
@@ -293,14 +300,16 @@ def visual_inertial_ba(
 
     st, points = phase(st, points, obs.valid, jnp.asarray(True), n_iters)
     _, _, _, chi2, _, ok, _ = _visual_eval(
-        cam, st, calib, points, obs, obs.valid, jnp.asarray(True), bf
+        cam, st, calib, points, obs, obs.valid, jnp.asarray(True), bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
     active = obs.valid & ok & (chi2 <= th)
     st, points = phase(st, points, active, jnp.asarray(False), n_iters_final)
 
     _, _, _, chi2, _, ok, vcost = _visual_eval(
-        cam, st, calib, points, obs, obs.valid, jnp.asarray(False), bf
+        cam, st, calib, points, obs, obs.valid, jnp.asarray(False), bf,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     *_, icost = _inertial_eval(st, prob.edges, prob.prior, hub_i, bpg, bpa)
     inlier = obs.valid & ok & (chi2 <= th)
@@ -319,7 +328,7 @@ class VIPoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cam", "bf"))
+@partial(jax.jit, static_argnames=("cam", "bf", "cam2"))
 def vi_pose_optimization(
     cam: cam_mod.Camera,
     calib: Calib,
@@ -330,6 +339,9 @@ def vi_pose_optimization(
     obs,                    # PoseObs-like: uv/uv_r/inv_sigma2/is_stereo/valid
     anchor_prior: VIPrior | None = None,
     bf: float = 0.0,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ) -> VIPoseOptResult:
     """Motion-only visual-inertial pose optimization.
 
@@ -351,6 +363,8 @@ def vi_pose_optimization(
         point_idx=jnp.arange(N, dtype=jnp.int32),
         uv=obs.uv, uv_r=obs.uv_r, inv_sigma2=obs.inv_sigma2,
         is_stereo=obs.is_stereo, valid=obs.valid,
+        uv2=getattr(obs, "uv2", None),
+        is_right=getattr(obs, "is_right", None),
     )
     edges = InertialEdges(
         i=jnp.zeros(1, jnp.int32), j=jnp.ones(1, jnp.int32),
@@ -370,7 +384,7 @@ def vi_pose_optimization(
     )
     res = visual_inertial_ba(
         cam, calib, prob, bf=bf, n_iters=4, n_iters_final=4,
-        huber_inertial=False,
+        huber_inertial=False, cam2=cam2, Rrl=Rrl, trl=trl,
     )
     st = res.state
     return VIPoseOptResult(

@@ -102,16 +102,22 @@ def body_reproj_residuals(
     points: jnp.ndarray,
     obs: factors.ReprojObs,
     bf: float = 0.0,
+    cam2: cam_mod.Camera | None = None,
+    Rrl: jnp.ndarray | None = None,
+    trl: jnp.ndarray | None = None,
 ):
     """Reprojection residuals with Jacobians in the BODY tangent.
 
-    Returns r (O, 3), Jp (O, 3, 6) w.r.t. [dt, dphi] of the observing body
-    state, Jl (O, 3, 3) w.r.t. the landmark, chi2 (O,), ok (O,).
+    Returns r (O, R), Jp (O, R, 6) w.r.t. [dt, dphi] of the observing body
+    state, Jl (O, R, 3) w.r.t. the landmark, chi2 (O,), ok (O,).  R = 3
+    residual rows, or 5 with a second camera (``cam2``/``Rrl``/``trl``:
+    non-rectified fisheye stereo, reference two-camera EdgeMono with Tlr,
+    `include/G2oTypes.h:339-489`).
     The remaining 9 tangent rows (v, bg, ba) have zero reprojection Jacobian.
     """
     Rcw, tcw = cam_from_body(st, calib)
     r, _, Jl, chi2, ok, _ = factors.reproj_residuals(
-        cam, Rcw, tcw, points, obs, bf=bf
+        cam, Rcw, tcw, points, obs, bf=bf, cam2=cam2, Rrl=Rrl, trl=trl
     )
     # body-frame chain rule: x_b = Rwb^T (x_w - twb), x_c = Rcb x_b + tcb
     # d x_b / d dt = -I;  d x_b / d dphi = hat(x_b);  dx_c = Rcb dx_b.

@@ -82,3 +82,99 @@ def distributed_bundle_adjust(
         cg_iters=32,
     )
     return Rf, tf, pf, cost
+
+
+def shard_obs_by_point(obs: factors.ReprojObs, n_devices: int):
+    """Lay out the observation table so shard s owns every row of the
+    points with ``point_idx % n_devices == s`` (padded per shard).
+
+    The covisibility-block idea applied at landmark granularity: with all
+    of a point's observations on one shard, the (M, 3) segment reductions
+    inside the Schur matvec become shard-local — each PCG iteration of the
+    distributed GBA then communicates only the (K, 6) pose vector over the
+    mesh (see ``optim.gba._schur_matvec``).  Returns a (n*cap,)-row table
+    whose leading axis splits evenly into per-owner blocks.
+    """
+    import numpy as np
+
+    pi = np.asarray(obs.point_idx)
+    O = len(pi)
+    owner = pi % n_devices
+    counts = np.bincount(owner, minlength=n_devices)
+    cap = max(int(counts.max()), 1)
+    cap = -(-cap // 8) * 8  # pad each block to a multiple of 8 rows
+    order = np.argsort(owner, kind="stable")
+    off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(O) - off[owner[order]]
+    dest = owner[order] * cap + rank          # scatter target per sorted row
+
+    def place(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        out = np.zeros((n_devices * cap,) + x.shape[1:], x.dtype)
+        out[dest] = x[order]
+        return jnp.asarray(out)
+
+    valid = np.zeros(n_devices * cap, bool)
+    valid[dest] = np.asarray(obs.valid)[order]
+    return factors.ReprojObs(
+        pose_idx=place(obs.pose_idx),
+        point_idx=place(obs.point_idx),
+        uv=place(obs.uv),
+        uv_r=place(obs.uv_r),
+        inv_sigma2=place(obs.inv_sigma2),
+        is_stereo=place(obs.is_stereo),
+        valid=jnp.asarray(valid),
+        uv2=place(obs.uv2),
+        is_right=place(obs.is_right),
+    )
+
+
+def shard_obs_by_point_block(obs: factors.ReprojObs, n_devices: int,
+                             block: int):
+    """Lay out the observation table so shard s owns every row of the
+    points in the contiguous block [s*block, (s+1)*block).
+
+    The block layout lets each shard keep ONLY its own (block,)-sized
+    landmark state (Hll/Cinv/dl) — see ``optim.gba._gba_lm_step_ptblock``.
+    Returns a (n*cap,)-row table splitting evenly into per-owner chunks.
+    """
+    import numpy as np
+
+    pi = np.asarray(obs.point_idx)
+    O = len(pi)
+    owner = np.clip(pi // block, 0, n_devices - 1)
+    counts = np.bincount(owner, minlength=n_devices)
+    cap = max(int(counts.max()), 1)
+    cap = -(-cap // 8) * 8
+    order = np.argsort(owner, kind="stable")
+    off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    rank = np.arange(O) - off[owner[order]]
+    dest = owner[order] * cap + rank
+
+    def place(x, fill=0):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        out = np.full((n_devices * cap,) + x.shape[1:], fill, x.dtype)
+        out[dest] = x[order]
+        return jnp.asarray(out)
+
+    valid = np.zeros(n_devices * cap, bool)
+    valid[dest] = np.asarray(obs.valid)[order]
+    # pad rows must carry an OWNED point id so the local index stays in
+    # range: row r of owner s gets point id s*block (weights are zero)
+    pid = np.repeat(np.arange(n_devices) * block, cap)
+    pid[dest] = pi[order]
+    return factors.ReprojObs(
+        pose_idx=place(obs.pose_idx),
+        point_idx=jnp.asarray(pid.astype(np.int32)),
+        uv=place(obs.uv),
+        uv_r=place(obs.uv_r),
+        inv_sigma2=place(obs.inv_sigma2),
+        is_stereo=place(obs.is_stereo),
+        valid=jnp.asarray(valid),
+        uv2=place(obs.uv2),
+        is_right=place(obs.is_right),
+    )

@@ -204,6 +204,7 @@ class AtlasSLAM:
     def _switch_map(self):
         """Stash (or discard) the active map; start a fresh one."""
         a = self.active
+        self._bake_trajectory(a)  # rel-pose records anchor to THIS map
         if a.n_kf >= self.MIN_KFS_TO_STORE and self._ensure_vocab():
             db = KeyFrameDatabase(self.vocab, self.cfg.max_keyframes)
             m = a.m
@@ -410,3 +411,54 @@ class AtlasSLAM:
     @property
     def n_maps(self):
         return 1 + len(self.stored)
+
+    # ------------------------------------------------------------------
+    # driver-facing delegation (the CLI treats Atlas like a plain system)
+    @property
+    def n_kf(self):
+        return self.active.n_kf
+
+    @property
+    def n_mp(self):
+        return self.active.n_mp
+
+    @property
+    def m(self):
+        return self.active.m
+
+    def flush(self):
+        if hasattr(self.active, "flush"):
+            self.active.flush()
+        return self
+
+    def positions(self):
+        return self.active.positions()
+
+    def final_poses(self):
+        return self.active.final_poses()
+
+    @staticmethod
+    def _bake_trajectory(a):
+        """Convert relative-pose records to absolute before the map that
+        anchors them is stashed (their ref slots belong to THAT map; the
+        next map's slot table must not be consulted for them) — the
+        spanning-tree recovery of ``SaveTrajectoryTUM``
+        (`/root/reference/src/System.cc:461-467`) done eagerly."""
+        import numpy as _np
+
+        kfR = _np.asarray(a.m.kf_Rcw)
+        kft = _np.asarray(a.m.kf_tcw)
+        for rec in a.trajectory:
+            if rec.ref_slot >= 0 and rec.rel_R is not None:
+                Rr, tr = kfR[rec.ref_slot], kft[rec.ref_slot]
+                rec.Rcw = rec.rel_R @ Rr
+                rec.tcw = rec.rel_R @ tr + rec.rel_t
+                rec.ref_slot = -1
+                rec.rel_R = rec.rel_t = None
+
+    def on_sequence_end(self):
+        """Multi-session boundary (reference multi-session protocol,
+        `Examples/euroc_examples.sh:15`): stash the active map; the next
+        sequence starts a fresh one and merges back on revisit."""
+        self._bake_trajectory(self.active)
+        self._switch_map()

@@ -75,6 +75,9 @@ def _window_obs(m: MS.MapArrays, kf_slots, kf_mask, cfg):
     valid = valid & m.mp_valid[mp_idx]
     sigma2 = jnp.asarray(cfg.level_sigma2, m.mp_pos.dtype)
     uvr = m.kf_uvr[kf_g, f_idx]
+    # second-camera pixels (non-rectified fisheye stereo): stored per
+    # keyframe feature in kf_xy_r, -1 = no right observation
+    uv2 = m.kf_xy_r[kf_g, f_idx]
     obs = factors.ReprojObs(
         pose_idx=k_local,
         point_idx=mp_idx,
@@ -83,6 +86,8 @@ def _window_obs(m: MS.MapArrays, kf_slots, kf_mask, cfg):
         inv_sigma2=1.0 / sigma2[m.kf_level[kf_g, f_idx]],
         is_stereo=uvr >= 0,
         valid=valid,
+        uv2=uv2,
+        is_right=valid & (uv2[:, 0] >= 0),
     )
     seen = jnp.zeros(MP, bool).at[mp_idx].max(valid)
     return obs, seen, (kf_g, f_idx)
@@ -145,6 +150,14 @@ def chain_inertial_ba(
     # 8-keyframe window (round-4 VI profile)
     MP = m.mp_pos.shape[0]
     MPC = min(K * m.kf_xy.shape[1] // 2, MP)
+    # "no silent caps": landmarks beyond the compaction budget are dropped
+    # from this BA — count them (visible via --times) instead of silence
+    from orb_slam3_noted_tpu.utils.timing import report_saturation
+
+    report_saturation(
+        "chain_ba_landmarks",
+        jnp.maximum(jnp.sum(seen.astype(jnp.int32)) - MPC, 0),
+    )
     sel = jnp.argsort(~seen)[:MPC]
     inv = jnp.zeros(MP, jnp.int32).at[sel].set(
         jnp.arange(MPC, dtype=jnp.int32)
@@ -159,10 +172,14 @@ def chain_inertial_ba(
         pose_fixed=pose_fixed, point_fixed=~seen_c,
         prior=no_prior(dtype),
     )
+    from orb_slam3_noted_tpu.pipeline.tracking import _second_camera
+
+    cam2, Rrl, trl = _second_camera(cfg)
     res = visual_inertial_ba(
         cam, calib, prob, bf=bf, n_iters=n_iters, n_iters_final=n_iters,
         huber_inertial=True,
         bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
+        cam2=cam2, Rrl=Rrl, trl=trl,
     )
     st = res.state
     Rcw_n, tcw_n = cam_from_body(st, calib)

@@ -263,6 +263,102 @@ class InertialMixin:
             for (a, w, d) in self.kf_segments
         ]
 
+    # -- inertial keyframe culling + slot recycling --------------------
+    def _splice_chain(self, kf_valid):
+        """Drop culled keyframes from the temporal chain, merging their raw
+        IMU segments (reference ``Preintegrated::MergePrevious``).  Called
+        from every ``_refill_free_slots`` so ANY cull — the chain-aware one
+        below or the visual device-side cull of the stage-0 path — keeps
+        the chain consistent before a slot can be recycled."""
+        kf_valid = np.asarray(kf_valid)
+        changed = False
+        k = len(self.kf_order) - 1
+        while k >= 0:
+            if kf_valid[self.kf_order[k]]:
+                k -= 1
+                continue
+            changed = True
+            n = len(self.kf_order)
+            if k == 0:
+                del self.kf_order[0], self.kf_times[0]
+                if self.kf_segments:
+                    del self.kf_segments[0]
+                    del self.seg_preints[0], self.seg_ok[0]
+            elif k == n - 1:
+                del self.kf_order[-1], self.kf_times[-1]
+                del self.kf_segments[-1]
+                del self.seg_preints[-1], self.seg_ok[-1]
+            else:
+                a0, w0, d0 = self.kf_segments[k - 1]
+                a1, w1, d1 = self.kf_segments[k]
+                merged = (
+                    np.concatenate([a0, a1]), np.concatenate([w0, w1]),
+                    np.concatenate([d0, d1]),
+                )
+                self.kf_segments[k - 1] = merged
+                self.seg_preints[k - 1] = integrate_measurements(
+                    self.bias, *_pad(*merged, _KF_PAD), self.calib
+                )
+                self.seg_ok[k - 1] = self.seg_ok[k - 1] and self.seg_ok[k]
+                del self.kf_segments[k], self.seg_preints[k], self.seg_ok[k]
+                del self.kf_order[k], self.kf_times[k]
+            k -= 1
+        return changed
+
+    def _refill_free_slots(self, kf_valid):
+        MonoSLAM._refill_free_slots(self, kf_valid)
+        self._splice_chain(kf_valid)
+
+    def _cull_inertial_kfs(self):
+        """KeyFrameCulling on the temporal chain (reference
+        `src/LocalMapping.cc:982-1010`): redundancy ratio 0.5 for
+        stereo-inertial / 0.9 mono-inertial, with the temporal guard that a
+        culled keyframe's neighbours must stay < 3 s apart (the merged
+        preintegration segment must remain short enough to be useful —
+        ``Preintegrated::MergePrevious``).
+
+        Runs one device cull dispatch + one kf_valid pull, then splices the
+        host chain and returns the slots to the recycle list.
+        """
+        n = len(self.kf_order)
+        if n < 8:
+            return
+        KF = self.cfg.max_keyframes
+        cand = np.zeros(KF, bool)
+        # chain candidates: never the origin or the last two (tracking
+        # anchors); temporal guard on the would-be merged segment
+        for k in range(1, n - 2):
+            if self.kf_times[k + 1] - self.kf_times[k - 1] < 3.0:
+                cand[self.kf_order[k]] = True
+        if not cand.any():
+            return
+        ratio = 0.5 if (self.FIX_SCALE and self.cfg.bf > 0) else 0.9
+        protect = jnp.asarray(~cand)
+        self.m = MS.cull_keyframes(
+            self.m, jnp.asarray(cand), protect, ratio=ratio
+        )
+        kf_valid = np.asarray(jax.device_get(self.m.kf_valid))
+        self._refill_free_slots(kf_valid)  # splices the chain too
+        db = self._reloc_database()
+        if db is not None:
+            for s in np.flatnonzero(db.present & ~kf_valid):
+                db.erase(int(s))
+
+    def _can_insert_kf(self) -> bool:
+        """Capacity logic: at capacity with no recyclable slot, run the
+        chain-aware cull (NOT the visual one — a visual cull would drop
+        keyframes without merging their IMU segments)."""
+        if self.n_kf < self.cfg.max_keyframes or self.free_kf_slots:
+            return True
+        if not self.kf_order:
+            return MonoSLAM._can_insert_kf(self)
+        if self._refill_cooldown <= 0:
+            self._refill_cooldown = 4
+            self._cull_inertial_kfs()
+            return bool(self.free_kf_slots)
+        self._refill_cooldown -= 1
+        return False
+
     # -- IMU initialization stages -------------------------------------
     def _try_imu_init(self, t):
         from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER
@@ -279,6 +375,12 @@ class InertialMixin:
             return
         elapsed = t - self.kf_times[0]
         if elapsed < stage_times[self.imu_stage]:
+            return
+        # the stage-0 visual mapper culls keyframes on device; drop any
+        # culled slot from the chain (merging its IMU segments) before the
+        # init solver consumes stale poses
+        self._splice_chain(jax.device_get(self.m.kf_valid))
+        if len(self.kf_order) < cfg.imu_init_min_kfs:
             return
         priors = [(1e2, 1e10 if self.FIX_SCALE is False else 1e5),
                   (1.0, 1e5), (0.0, 0.0)]
@@ -401,7 +503,7 @@ class InertialMixin:
         )
 
     # -- per-frame inertial tracking (after IMU init) -------------------
-    def _track_inertial(self, feats, frame_id, feat_uvr=None):
+    def _track_inertial(self, feats, frame_id, feat_uvr=None, feat_uv2=None):
         cfg = self.cfg
         anchor_slot = self.kf_order[-1]
         anchor_Rcw = self.m.kf_Rcw[anchor_slot]
@@ -424,7 +526,7 @@ class InertialMixin:
         )
         obs, f_idx, vis = T.match_local_map(
             self.m, feats, Rcw_p, tcw_p, mp_mask, self.cam, cfg,
-            feat_uvr=feat_uvr,
+            feat_uvr=feat_uvr, feat_uv2=feat_uv2,
         )
         # compact to the matched set (<= NF rows) — the optimizer's cost is
         # linear in observation rows; see vi_track_batch
@@ -432,9 +534,11 @@ class InertialMixin:
         MP = self.m.mp_pos.shape[0]
         sel = jnp.argsort(~obs.valid)[:NF]
         obs_c = jax.tree_util.tree_map(lambda x: x[sel], obs)
+        cam2, Rrl, trl = T._second_camera(cfg)
         res = vi_pose_optimization(
             self.cam, self.calib, anchor, frame0, pre,
             self.m.mp_pos[sel], obs_c, bf=cfg.bf,
+            cam2=cam2, Rrl=Rrl, trl=trl,
         )
         st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
                       vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
@@ -475,6 +579,7 @@ def vi_track_batch(
     calib,
     cam, cfg, bf,
     count_mask,             # (B,) frames allowed to bump visible/found
+    uv2_all=None,           # (B, NF, 2) right-camera pixels (fisheye) or None
 ):
     """Visual-inertial tracking of a whole frame batch in ONE dispatch.
 
@@ -502,7 +607,9 @@ def vi_track_batch(
     NF = feats_all.xy.shape[1]
     MP = m.mp_pos.shape[0]
 
-    def one(feats, uvr, a, w, d):
+    cam2, Rrl, trl = T._second_camera(cfg)
+
+    def one(feats, uvr, uv2, a, w, d):
         pre = integrate_measurements(bias, a, w, d, calib)
         Rp, tp, vp = predict_state(anchor.Rwb, anchor.twb, anchor.vel,
                                    pre, bias)
@@ -512,6 +619,7 @@ def vi_track_batch(
         )
         obs, f_idx, vis = T.match_local_map(
             m, feats, Rcw_p[0], tcw_p[0], mp_mask, cam, cfg, feat_uvr=uvr,
+            feat_uv2=uv2,
         )
         # compact the (MP,)-indexed observation table to the matched set
         # (bounded by NF distinct features): the VI pose optimizer's cost
@@ -523,6 +631,7 @@ def vi_track_batch(
         )
         res = vi_pose_optimization(
             cam, calib, anchor, frame0, pre, m.mp_pos[sel], obs_c, bf=bf,
+            cam2=cam2, Rrl=Rrl, trl=trl,
         )
         st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
                       vel=res.vel[None], bg=res.bg[None], ba=res.ba[None])
@@ -534,9 +643,15 @@ def vi_track_batch(
         return (Rcw[0], tcw[0], res.n_inliers, mp_of_feat, res.vel,
                 vis, keep)
 
-    Rs, ts, n_inls, mp_feats, vels, vis_all, keep_all = jax.vmap(one)(
-        feats_all, uvr_all, acc, gyr, dts
-    )
+    if uv2_all is None:
+        one_fn = lambda f, u, a, w, d: one(f, u, None, a, w, d)
+        Rs, ts, n_inls, mp_feats, vels, vis_all, keep_all = jax.vmap(one_fn)(
+            feats_all, uvr_all, acc, gyr, dts
+        )
+    else:
+        Rs, ts, n_inls, mp_feats, vels, vis_all, keep_all = jax.vmap(one)(
+            feats_all, uvr_all, uv2_all, acc, gyr, dts
+        )
     cmf = count_mask[:, None]
     m = m._replace(
         mp_visible=m.mp_visible
@@ -558,6 +673,9 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
 
     # process(img, t, acc, gyr, imu_t): batched IMU samples since last frame
     def process(self, img, frame_id, t=None, acc=None, gyr=None, imu_t=None):
+        if self._pending_loops:
+            self.flush()
+        self._service_background()
         t = float(frame_id) / self.cfg.fps if t is None else float(t)
         self._check_timestamps(t)  # on a broken stream: reset, re-init below
         if acc is not None:
@@ -609,11 +727,9 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
                 self.state = OK
                 self.frames_since_kf += 1
                 self._record(frame_id, Rcw, tcw, n_inl)
-                need_kf = (
-                    self.frames_since_kf >= self.cfg.kf_max_interval
-                    or n_inl < self.cfg.kf_tracked_ratio * self.tracked_at_kf
-                ) and self.n_kf < self.cfg.max_keyframes - 1
-                if need_kf:
+                # full NeedNewKeyFrame policy (unified round-5: the override
+                # below layers the inertial 0.5 s rule on the c1/c2 ladder)
+                if self._need_new_kf(n_inl):
                     self._insert_keyframe(
                         feats, frame_id, Rcw, tcw, mp_of_feat, n_inl
                     )
@@ -671,13 +787,29 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
         # host-sequenced form (covisibility pull + per-neighbour
         # triangulate dispatches) cost ~350 ms of round trips per keyframe.
         cfg = self.cfg
-        slot = self.n_kf
+        slot = self._alloc_kf_slot()
+        if slot is None:
+            return  # at capacity with nothing recyclable
+        self.kf_inserted += 1
         NF = cfg.n_features
         uvr_arr = uvr if uvr is not None else jnp.full((NF,), -1.0,
                                                        jnp.float32)
         depth_arr = depth if depth is not None else jnp.full(
             (NF,), -1.0, jnp.float32
         )
+        if self._mp_remap is not None:
+            mp_of_feat = MS.remap_point_bindings(mp_of_feat, self._mp_remap)
+        if self._n_mp > 0.85 * cfg.max_map_points:
+            # map-point free-list compaction (same protocol as the visual
+            # path: drain in-flight GBA first, remap in-flight bindings)
+            if self.loop_closer is not None:
+                self.loop_closer.finish_gba(self)
+            self.m, n_mp_dev, inv = MS.compact_map_points(self.m)
+            self._n_mp_pending = n_mp_dev
+            mp_of_feat = MS.remap_point_bindings(mp_of_feat, inv)
+            self._mp_remap = inv if self._mp_remap is None else (
+                MS.compose_point_remaps(self._mp_remap, inv)
+            )
         with TIMER.stage("insert_keyframe"):
             self.m, n_mp = T.insert_keyframe_step(
                 self.m, jnp.int32(slot), Rcw, tcw, jnp.int32(frame_id),
@@ -687,7 +819,7 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
                 has_depth=depth is not None, xy_r=xy_r, visual_ba=False,
             )
             self._n_mp_pending = n_mp
-        self.n_kf += 1
+        self.kf_frame_ids[slot] = int(frame_id)
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         self.tracked_at_kf = max(n_inl, 1)
@@ -695,7 +827,38 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
         self._chain_ba(window=self.cfg.inertial_window)
         self.bias = Bias(self.ki.bg[slot], self.ki.ba[slot])
         self.cur_vel = self.ki.vel[slot]
+        # full back end on the inertial path (round-5; reference pushes
+        # EVERY keyframe to LoopClosing regardless of sensor,
+        # `src/LocalMapping.cc:262`, and culls every mapper pass):
+        # KeyFrameCulling + slot recycling every few inserts (amortizes the
+        # kf_valid pull), loop detection once VIBA1 has refined the map
+        # (reference guard in ``NewDetectCommonRegions``), reloc-DB
+        # registration always.
+        if self.kf_inserted % 4 == 0:
+            self._cull_inertial_kfs()
+        if cfg.enable_loop_closing:
+            # stage >= 2 == VIBA1 done (the reference's detection guard)
+            if self.imu_stage >= 2:
+                self._maybe_close_loop(slot, feats)
+            else:
+                self._register_loop_db_kf(slot, feats)
+        else:
+            self._register_reloc_kf(slot)
         self._check_bad_imu()
+
+    def _register_loop_db_kf(self, slot, feats):
+        """Add the keyframe to the loop closer's BoW database WITHOUT
+        querying for loops — the reference's pre-VIBA1 guard skips
+        detection but keyframes still enter the database
+        (`src/LoopClosing.cc:316-355`)."""
+        self._maybe_build_loop_closer(feats)
+        if self.loop_closer is None:
+            return
+        m = self.m
+        _, bow = self.loop_closer.db.compute_bow(
+            m.kf_desc[slot], m.kf_feat_valid[slot]
+        )
+        self.loop_closer.db.add(slot, bow)
 
 
 class StereoInertialSLAM(MonoInertialSLAM):
@@ -721,6 +884,9 @@ class StereoInertialSLAM(MonoInertialSLAM):
         from orb_slam3_noted_tpu.ops import image as I
         from orb_slam3_noted_tpu.ops.stereo import match_stereo
 
+        if self._pending_loops:
+            self.flush()
+        self._service_background()
         t = float(frame_id) / self.cfg.fps if t is None else float(t)
         self._check_timestamps(t)  # on a broken stream: reset, re-init below
         if acc is not None:
@@ -775,11 +941,16 @@ class StereoInertialSLAM(MonoInertialSLAM):
                 self.state = OK
                 self.frames_since_kf += 1
                 self._record(frame_id, Rcw, tcw, n_inl)
-                need_kf = (
-                    self.frames_since_kf >= cfg.kf_max_interval
-                    or n_inl < cfg.kf_tracked_ratio * self.tracked_at_kf
-                ) and self.n_kf < cfg.max_keyframes - 1
-                if need_kf:
+                # full NeedNewKeyFrame with the stereo close-point trigger
+                # (unified round-5; reference `src/Tracking.cc:2962-2992`)
+                close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
+                close = (depth > 0) & (depth < close_th)
+                tc, ntc = jax.device_get((
+                    jnp.sum((mp_of_feat >= 0) & close),
+                    jnp.sum((mp_of_feat < 0) & close),
+                ))
+                if self._need_new_kf(n_inl, tracked_close=int(tc),
+                                     nontracked_close=int(ntc)):
                     self._insert_keyframe(
                         feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
                         uvr=uvr, depth=depth,
@@ -828,6 +999,9 @@ class StereoInertialSLAM(MonoInertialSLAM):
         from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
 
         cfg = self.cfg
+        if self._pending_loops:
+            self.flush()
+        self._service_background()
         if acc is not None:
             self.feed_imu(acc, gyr, imu_t)
         if ts is None:
@@ -962,3 +1136,142 @@ class StereoInertialSLAM(MonoInertialSLAM):
         self.last_t = tss[-1]
         self._cur_time = tss[-1]
         return self.trajectory[-1]
+
+
+class FisheyeStereoInertialSLAM(StereoInertialSLAM):
+    """Non-rectified Kannala-Brandt stereo + IMU — the TUM-VI gate config.
+
+    The reference's ``IMU_STEREO`` sensor with two ``KannalaBrandt8``
+    cameras (`/root/reference/src/Tracking.cc:724-815` Camera2/Tlr parsing;
+    `src/Frame.cc:1041-1140` fisheye stereo frame): descriptors match
+    inside the lapping areas and triangulate directly with the known
+    extrinsic Tlr (``KannalaBrandt8::TriangulateMatches``,
+    `src/CameraModels/KannalaBrandt8.cpp:236`).  Matched right-camera
+    pixels become full two-camera KB8 reprojection residuals carrying Tlr
+    through VI pose optimization and the inertial chain BA (reference
+    two-camera EdgeMono, `include/G2oTypes.h:339-489`); metric depth from
+    the triangulation seeds map points, and — as in the rectified case —
+    lets IMU init run with the scale fixed.
+
+    Requires cfg.camera/camera2 (KB8), cfg.tlr_r/tlr_t, cfg.lapping_l/r;
+    cfg.bf (baseline*fx) only scales the close-point threshold.
+    """
+
+    MIN_INIT_POINTS = 100  # the lapping overlap covers part of the frame
+
+    def __init__(self, cfg: SlamConfig):
+        super().__init__(cfg)
+        assert cfg.camera2 is not None, "camera2 required for fisheye stereo"
+        self.cam2 = cfg.camera2
+        self.Rlr = jnp.asarray(
+            np.asarray(cfg.tlr_r, np.float32).reshape(3, 3)
+            if cfg.tlr_r else np.eye(3, dtype=np.float32)
+        )
+        self.tlr = jnp.asarray(cfg.tlr_t, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _fisheye_frontend(self, img_left, img_right):
+        """Extract both cameras + lapping-area triangulating match.
+
+        Returns (feats, depth (NF,), uv2 (NF, 2)) — depth in the LEFT
+        camera frame, uv2 the matched right-camera pixel or -1.
+        """
+        from orb_slam3_noted_tpu.ops.fisheye_stereo import match_fisheye_stereo
+
+        cfg = self.cfg
+        iml = jnp.asarray(img_left, jnp.float32)
+        imr = jnp.asarray(img_right, jnp.float32)
+        kw = dict(
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor,
+            th_high=cfg.ini_th_fast, th_low=cfg.min_th_fast,
+        )
+        feats = O.extract_orb(iml, **kw)
+        feats_r = O.extract_orb(imr, **kw)
+        sm = match_fisheye_stereo(
+            feats, feats_r, self.cam, self.cam2, self.Rlr, self.tlr,
+            lap_l=tuple(cfg.lapping_l), lap_r=tuple(cfg.lapping_r),
+            level_sigma2=jnp.asarray(cfg.level_sigma2, jnp.float32),
+        )
+        depth = jnp.where(sm.valid, sm.depth, -1.0)
+        ok2 = sm.valid & (sm.idx_r >= 0)
+        uv2 = jnp.where(
+            ok2[:, None], feats_r.xy[jnp.clip(sm.idx_r, 0)], -1.0
+        )
+        return feats, depth, uv2
+
+    # ------------------------------------------------------------------
+    def _process_timed(self, img_left, img_right, frame_id,
+                       t=None, acc=None, gyr=None, imu_t=None):
+        from orb_slam3_noted_tpu.pipeline.system import StereoSLAM
+
+        if self._pending_loops:
+            self.flush()
+        self._service_background()
+        t = float(frame_id) / self.cfg.fps if t is None else float(t)
+        self._check_timestamps(t)
+        if acc is not None:
+            self.feed_imu(acc, gyr, imu_t)
+        self._accumulate_interval(t)
+        self._cur_time = t
+        self.frames_total += 1
+        cfg = self.cfg
+
+        feats, depth, uv2 = self._fisheye_frontend(img_left, img_right)
+        uvr = jnp.full((cfg.n_features,), -1.0, jnp.float32)
+
+        if self.state == NOT_INITIALIZED:
+            StereoSLAM._stereo_initialize(
+                self, feats, frame_id, uvr, depth, xy_r=uv2
+            )
+            if self.state == OK:
+                self.kf_order = [0]
+                self.kf_times = [t]
+                self.kf_segments = []
+                self.seg_preints = []
+                self.since_kf = (
+                    np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+                )
+            self._cur_time = t
+            return self.trajectory[-1] if self.trajectory else None
+
+        if self.imu_stage == 0:
+            self._track(feats, frame_id, uvr=None, depth=depth, xy_r=uv2)
+        else:
+            Rcw, tcw, n_inl, mp_of_feat, pred = self._track_inertial(
+                feats, frame_id, feat_uvr=None, feat_uv2=uv2
+            )
+            if n_inl < cfg.min_tracked_points:
+                self._track(feats, frame_id, uvr=None, depth=depth, xy_r=uv2)
+            else:
+                self.state = OK
+                self.frames_since_kf += 1
+                self._record(frame_id, Rcw, tcw, n_inl)
+                close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
+                close = (depth > 0) & (depth < close_th)
+                tc, ntc = jax.device_get((
+                    jnp.sum((mp_of_feat >= 0) & close),
+                    jnp.sum((mp_of_feat < 0) & close),
+                ))
+                if self._need_new_kf(n_inl, tracked_close=int(tc),
+                                     nontracked_close=int(ntc)):
+                    self._insert_keyframe(
+                        feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
+                        uvr=None, depth=depth, xy_r=uv2,
+                    )
+        self._try_imu_init(t)
+        self._cur_time = t
+        return self.trajectory[-1]
+
+    # ------------------------------------------------------------------
+    def process_batch(self, imgs, frame_ids, ts=None,
+                      acc=None, gyr=None, imu_t=None):
+        """Per-frame fallback: the fisheye VI frontend has no fused batch
+        dispatch yet — drive each (left, right) pair through ``process``."""
+        if acc is not None:
+            self.feed_imu(acc, gyr, imu_t)
+        if ts is None:
+            ts = [float(f) / self.cfg.fps for f in frame_ids]
+        for (l, r), fid, t in zip(imgs, frame_ids, ts):
+            self.process(l, r, fid, t=t)
+        return self.trajectory[-1] if self.trajectory else None

@@ -497,44 +497,95 @@ class LoopCloser:
         s_all = jnp.ones(KF, m.kf_tcw.dtype)
         i_arr = jnp.asarray(ei + [cand], jnp.int32)
         j_arr = jnp.asarray(ej + [slot], jnp.int32)
-
-        Si = (R_all[i_arr[:-1]], t_all[i_arr[:-1]], s_all[i_arr[:-1]])
-        Sj = (R_all[j_arr[:-1]], t_all[j_arr[:-1]], s_all[j_arr[:-1]])
-        Rr, tr, sr = jax.vmap(lambda a, b: sim3.compose(b, sim3.inverse(a)))(Si, Sj)
-
-        # loop edge: S_cur_cand from the Sim3 solver (maps candidate-frame
-        # points into the current frame): S_cur_w_corrected = S_loop o T_cand_w
-        eR = jnp.concatenate([Rr, res.R[None]])
-        et = jnp.concatenate([tr, res.t[None]])
-        es = jnp.concatenate([sr, res.s[None]])
         weight = jnp.ones(n_real + 1, jnp.float32).at[-1].set(float(n_real) / 4 + 1.0)
-        edges = Sim3Edges(
-            i=i_arr, j=j_arr, R=eR, t=et, s=es,
-            weight=weight,
-            valid=jnp.ones(n_real + 1, bool),
-        )
         fixed = jnp.zeros(KF, bool).at[cand].set(True)
         # freeze invalid slots too (no edges touch them, but keep H regular)
         fixed = fixed | ~jnp.asarray(kf_valid)
 
-        if jax.device_count() > 1:
-            # edge table sharded over the attached mesh (distributed
-            # essential graph, SURVEY §2.3 north star)
+        # gravity-aligned inertial map: yaw+translation essential graph
+        # (reference selects ``OptimizeEssentialGraph4DoF`` for inertial
+        # maps, `src/LoopClosing.cc:1072-1081` — a Sim3/SE3 graph would let
+        # the loop correction tilt the observable gravity direction)
+        inertial_4dof = getattr(slam, "imu_stage", 0) >= 1
+        if inertial_4dof:
+            from orb_slam3_noted_tpu.geometry import se3
             from orb_slam3_noted_tpu.optim.pose_graph import (
-                distributed_pose_graph_sim3,
+                SE3Edges, optimize_pose_graph_4dof,
             )
-            from orb_slam3_noted_tpu.parallel.dist_ba import make_mesh
 
-            R_new, t_new, s_new, cost = distributed_pose_graph_sim3(
-                make_mesh(), R_all, t_all, s_all, edges, fixed,
-                fix_scale=_scale_fixed(slam),
+            Ti = (R_all[i_arr[:-1]], t_all[i_arr[:-1]])
+            Tj = (R_all[j_arr[:-1]], t_all[j_arr[:-1]])
+            Rr, tr = jax.vmap(
+                lambda a, b: se3.compose(b, se3.inverse(a))
+            )(Ti, Tj)
+            # loop Sim3 ran with fix_scale (IMU gives metric scale): s == 1
+            eR = jnp.concatenate([Rr, res.R[None]])
+            et = jnp.concatenate([tr, (res.t / res.s)[None]])
+            edges4 = SE3Edges(
+                i=i_arr, j=j_arr, R=eR, t=et, weight=weight,
+                valid=jnp.ones(n_real + 1, bool),
             )
+            R_new, t_new, cost = optimize_pose_graph_4dof(
+                R_all, t_all, edges4, fixed
+            )
+            s_new = s_all
         else:
-            R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
-                R_all, t_all, s_all, edges, fixed,
-                fix_scale=_scale_fixed(slam),
+            Si = (R_all[i_arr[:-1]], t_all[i_arr[:-1]], s_all[i_arr[:-1]])
+            Sj = (R_all[j_arr[:-1]], t_all[j_arr[:-1]], s_all[j_arr[:-1]])
+            Rr, tr, sr = jax.vmap(
+                lambda a, b: sim3.compose(b, sim3.inverse(a))
+            )(Si, Sj)
+
+            # loop edge: S_cur_cand from the Sim3 solver (maps candidate-frame
+            # points into the current frame): S_cur_w_corrected = S_loop o T_cand_w
+            eR = jnp.concatenate([Rr, res.R[None]])
+            et = jnp.concatenate([tr, res.t[None]])
+            es = jnp.concatenate([sr, res.s[None]])
+            edges = Sim3Edges(
+                i=i_arr, j=j_arr, R=eR, t=et, s=es,
+                weight=weight,
+                valid=jnp.ones(n_real + 1, bool),
             )
+
+            if jax.device_count() > 1:
+                # edge table sharded over the attached mesh (distributed
+                # essential graph, SURVEY §2.3 north star)
+                from orb_slam3_noted_tpu.optim.pose_graph import (
+                    distributed_pose_graph_sim3,
+                )
+                from orb_slam3_noted_tpu.parallel.dist_ba import make_mesh
+
+                R_new, t_new, s_new, cost = distributed_pose_graph_sim3(
+                    make_mesh(), R_all, t_all, s_all, edges, fixed,
+                    fix_scale=_scale_fixed(slam),
+                )
+            else:
+                R_new, t_new, s_new, cost = optimize_pose_graph_sim3(
+                    R_all, t_all, s_all, edges, fixed,
+                    fix_scale=_scale_fixed(slam),
+                )
         slam.m = _apply_correction(m, R_new, t_new, s_new)
+
+        # rotate per-keyframe body velocities by the world-side correction
+        # (reference ``CorrectLoop`` updates KF velocities through the
+        # corrected Sim3): R_wc_new = Rdelta @ R_wc_old with
+        # Rdelta = R_new^T R_old, so world vectors transform by Rdelta.
+        if inertial_4dof and getattr(slam, "ki", None) is not None:
+            from orb_slam3_noted_tpu.pipeline.inertial_mapping import (
+                KFInertial,
+            )
+
+            Rdelta = jnp.einsum("kji,kjl->kil", R_new, R_all, precision=_HP)
+            vel_rot = jnp.einsum(
+                "kij,kj->ki", Rdelta, slam.ki.vel, precision=_HP
+            )
+            slam.ki = KFInertial(
+                vel=jnp.where(
+                    jnp.asarray(kf_valid)[:, None], vel_rot, slam.ki.vel
+                ),
+                bg=slam.ki.bg, ba=slam.ki.ba,
+            )
+            slam.cur_vel = slam.ki.vel[slot]
 
         # SearchAndFuse (`src/LoopClosing.cc:1872`): with poses corrected,
         # project the map into the loop-side keyframes and merge the
@@ -548,8 +599,14 @@ class LoopCloser:
         # global BA after the pose-graph correction (reference spawns a GBA
         # thread from CorrectLoop, `src/LoopClosing.cc:1090-1097`); the
         # matrix-free Schur/PCG engine runs at full-map scale, so no
-        # "<200 KFs" escape hatch is needed
-        if self.enable_gba and getattr(slam, "cfg", None) is not None:
+        # "<200 KFs" escape hatch is needed.  Inertial maps run
+        # FullInertialBA over the temporal chain instead (reference
+        # ``RunGlobalBundleAdjustment`` selects FullInertialBA,
+        # `src/LoopClosing.cc:2018-2045`) — a visual-only GBA would drag
+        # poses away from the gravity-consistent inertial solution.
+        if inertial_4dof and hasattr(slam, "_chain_ba"):
+            slam._chain_ba(window=None, n_iters=8)
+        elif self.enable_gba and getattr(slam, "cfg", None) is not None:
             from orb_slam3_noted_tpu.optim.gba import (
                 SlicedGBA, run_global_ba_mesh,
             )

@@ -234,6 +234,15 @@ def add_map_points(
     slot = jnp.where(accept, start_slot + offs, MP - 1)
     slot = jnp.clip(slot, 0, MP - 1)
     ok = accept & (slot < MP - 1)
+    # "no silent caps": accepted candidates that no longer fit in the point
+    # table are dropped here — surface the count (reference Map::AddMapPoint
+    # has no capacity; our static table does)
+    from orb_slam3_noted_tpu.utils.timing import report_saturation
+
+    report_saturation(
+        "map_point_capacity",
+        jnp.sum(accept.astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32)),
+    )
 
     m = m._replace(
         mp_pos=m.mp_pos.at[slot].set(jnp.where(ok[:, None], pos, m.mp_pos[slot])),
@@ -408,10 +417,12 @@ def update_point_stats(
     )
 
 
-@jax.jit
-def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray):
+@partial(jax.jit, static_argnames=("ratio",))
+def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray,
+                   ratio: float = 0.9):
     """Mark redundant keyframes invalid (reference ``KeyFrameCulling``,
-    `src/LocalMapping.cc:982`: >=90% of a KF's points seen by >=3 other KFs).
+    `src/LocalMapping.cc:982`: >=90% of a KF's points seen by >=3 other KFs;
+    ``ratio`` drops to 0.5 for stereo-inertial maps, `:1007`).
 
     window_mask: (KF,) candidates to consider; protect: (KF,) never cull
     (current KF, origin).  Returns the updated map.
@@ -424,20 +435,20 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
         well_observed = nobs[mp_idx] >= 4  # point survives without this KF
         n_bound = jnp.sum(bound, axis=1)
         n_red = jnp.sum(bound & well_observed, axis=1)
-        ratio = n_red / jnp.maximum(n_bound, 1)
+        red_ratio = n_red / jnp.maximum(n_bound, 1)
         return (
             m.kf_valid
             & window_mask
             & ~protect
             & (n_bound > 20)
-            & (n_red >= 0.9 * n_bound)
-        ), ratio
+            & (n_red >= ratio * n_bound)
+        ), red_ratio
 
     # Two-pass joint accounting: first find all individually redundant KFs,
     # then re-check against the JOINT observation loss (two culled KFs may
     # share points; the reference's sequential loop can never over-cull, and
     # neither can this recheck).
-    cand, ratio = redundancy(m.mp_nobs)
+    cand, red = redundancy(m.mp_nobs)
     dec = jax.ops.segment_sum(
         (bound & cand[:, None]).reshape(-1).astype(jnp.int32),
         jnp.where(bound, mp_idx, MP - 1).reshape(-1), num_segments=MP,
@@ -449,7 +460,7 @@ def cull_keyframes(m: MapArrays, window_mask: jnp.ndarray, protect: jnp.ndarray)
     # (each loses >1 observer) — a deadlock the reference's one-at-a-time
     # loop never hits.  Cull the single most redundant candidate then; the
     # next mapper pass re-evaluates with updated counts.
-    best = jnp.argmax(jnp.where(cand, ratio, -1.0))
+    best = jnp.argmax(jnp.where(cand, red, -1.0))
     fallback = jnp.zeros_like(cand).at[best].set(True) & cand
     cull = jnp.where(jnp.any(cull), cull, fallback)
     dec_final = jax.ops.segment_sum(

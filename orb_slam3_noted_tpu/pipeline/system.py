@@ -916,7 +916,7 @@ class MonoSLAM:
         self.reloc_db.add(slot, bow)
 
     # ------------------------------------------------------------------
-    def _maybe_close_loop(self, slot, feats):
+    def _maybe_build_loop_closer(self, feats):
         """Lazy loop-closer construction.
 
         Uses the shipped pretrained 32k-word vocabulary
@@ -944,6 +944,9 @@ class MonoSLAM:
                 min_inliers=self.cfg.loop_min_inliers,
                 idf=idf,
             )
+
+    def _maybe_close_loop(self, slot, feats):
+        self._maybe_build_loop_closer(feats)
         # detection is ENQUEUED here (device-only) and finished at the next
         # frame boundary — the host never blocks on the mapper dispatch, and
         # several queued detections drain with one bulk pull

@@ -981,6 +981,15 @@ def local_ba(
         & seen[jnp.clip(all_mp, 0)]
     )
     _, sel = jax.lax.top_k(cand.astype(jnp.int32), _ANCHOR_OBS_CAP)
+    # "no silent caps": report dropped anchor observations (at 256 KF x
+    # 1200 features the cap IS exceeded mid-sequence — the overflow count
+    # surfaces via --times instead of vanishing)
+    from orb_slam3_noted_tpu.utils.timing import report_saturation
+
+    report_saturation(
+        "local_ba_anchor_obs",
+        jnp.maximum(jnp.sum(cand.astype(jnp.int32)) - _ANCHOR_OBS_CAP, 0),
+    )
     a_k = all_k[sel]
     a_f = all_f[sel]
     a_valid = cand[sel]

@@ -81,3 +81,81 @@ class StageTimer:
 
 
 GLOBAL_TIMER = StageTimer()
+
+
+# ---------------------------------------------------------------------------
+# Saturation counters (SURVEY "no silent caps"): every static-capacity
+# truncation — local-BA anchor-observation cap, chain-BA landmark
+# compaction, map-point allocator — reports its overflow here instead of
+# silently dropping data.  Device code calls :func:`report_saturation`
+# (a jax.debug.callback: runs on the host when the dispatch executes);
+# ``print_saturation`` surfaces the counts next to the stage table.
+# ---------------------------------------------------------------------------
+
+SATURATION = defaultdict(int)
+
+
+def _bump(name: str, amount):
+    a = int(amount)
+    if a > 0:
+        if SATURATION[name] == 0:
+            import sys
+
+            print(
+                f"[saturation] {name}: capacity exceeded by {a} "
+                "(first occurrence; see --times for totals)",
+                file=sys.stderr,
+            )
+        SATURATION[name] += a
+
+
+_CALLBACK_OK = None
+
+
+def _callback_supported() -> bool:
+    """The axon PJRT backend (TPU-over-tunnel dev harness) does not
+    implement host send/recv callbacks — jax.debug.callback raises
+    UNIMPLEMENTED at run time (and it self-reports platform "tpu", so the
+    only reliable gate is an actual probe).  Decided once at first use."""
+    global _CALLBACK_OK
+    if _CALLBACK_OK is None:
+        import jax
+        import jax.numpy as jnp
+
+        try:
+
+            def _probe(x):
+                jax.debug.callback(lambda v: None, x)
+                return x
+
+            # ensure_compile_time_eval: the probe must EXECUTE here even
+            # when we are called from inside another function's trace —
+            # otherwise its callback gets inlined into the ambient jaxpr
+            # and the UNIMPLEMENTED error fires at the caller's run time
+            with jax.ensure_compile_time_eval():
+                jax.jit(_probe)(jnp.zeros(())).block_until_ready()
+            _CALLBACK_OK = True
+        except Exception:
+            _CALLBACK_OK = False
+    return _CALLBACK_OK
+
+
+def report_saturation(name: str, overflow):
+    """Call from INSIDE jitted code with a device scalar ``overflow``
+    (0 = no truncation).  Fires a host callback that counts and warns on
+    first occurrence.  No-op on backends without host-callback support
+    (the counters are a diagnostics surface, not a correctness one)."""
+    if not _callback_supported():
+        return
+    import jax
+
+    jax.debug.callback(lambda v, n=name: _bump(n, v), overflow)
+
+
+def print_saturation(file=None):
+    if not SATURATION:
+        return
+    lines = ["saturated cap              dropped (total)"]
+    for name in sorted(SATURATION):
+        lines.append(f"{name:<26} {SATURATION[name]:>10}")
+    print("\n".join(lines), file=file)

@@ -70,3 +70,114 @@ def test_shape_mismatch_rejected(tmp_path):
     slam2 = MonoSLAM(other)
     with pytest.raises(ValueError, match="n_features"):
         load_map(path, slam2)
+
+
+@pytest.mark.slow
+def test_inertial_checkpoint_keeps_chain_and_db(tmp_path):
+    """Round-5 (VERDICT weak #6): a resumed inertial run must keep its raw
+    IMU chain segments (inertial factors stay ACTIVE — v1 checkpoints
+    silently resumed visual-only) and its place-recognition database (loops
+    can close against pre-checkpoint keyframes)."""
+    import jax.numpy as jnp
+
+    from orb_slam3_noted_tpu.geometry import so3
+    from orb_slam3_noted_tpu.imu.preintegration import GRAVITY
+    from orb_slam3_noted_tpu.pipeline.inertial_system import StereoInertialSLAM
+    from orb_slam3_noted_tpu.utils.synthetic import stereo_pair
+
+    FX, BL, FPS, IMU_HZ = 260.0, 0.12, 10.0, 200.0
+
+    def cam_pose(t):
+        twc = np.array([
+            0.22 * np.sin(3.8 * t),
+            0.15 * np.cos(4.6 * t) - 0.15,
+            0.18 * np.sin(1.9 * t) + 0.08 * t,
+        ])
+        Rwc = np.asarray(so3.exp(jnp.asarray([
+            0.06 * np.sin(1.1 * t), 0.08 * np.sin(0.7 * t),
+            0.04 * np.cos(1.3 * t),
+        ])))
+        return Rwc, twc
+
+    def imu_between(t0, t1):
+        g = np.array([0.0, 0.0, -GRAVITY])
+        eps = 1e-4
+        ts = np.arange(np.ceil(t0 * IMU_HZ),
+                       np.floor(t1 * IMU_HZ) + 1) / IMU_HZ
+        ts = ts[(ts > t0 + 1e-12) & (ts <= t1 + 1e-12)]
+        acc, gyr = [], []
+        for t in ts:
+            Rwb, p = cam_pose(t)
+            _, pp = cam_pose(t + eps)
+            _, pm = cam_pose(t - eps)
+            a_w = (pp - 2 * p + pm) / (eps * eps)
+            Rwb_p, _ = cam_pose(t + eps)
+            w_b = np.asarray(so3.log(jnp.asarray(Rwb.T @ Rwb_p))) / eps
+            acc.append(Rwb.T @ (a_w - g))
+            gyr.append(w_b)
+        return np.asarray(acc), np.asarray(gyr), ts
+
+    cfg = SlamConfig(
+        camera=CAM, width=W, height=H, fps=FPS,
+        n_features=500, bf=FX * BL, th_depth=35.0,
+        max_keyframes=32, max_map_points=4096,
+        local_window=4, kf_max_interval=4, min_tracked_points=12,
+        imu_init_time=0.8, imu_viba1_time=1e9, imu_viba2_time=1e9,
+        imu_init_min_kfs=4, inertial_window=5,
+        imu_noise_gyro=1e-4, imu_noise_acc=1e-3,
+        imu_walk_gyro=1e-6, imu_walk_acc=1e-5, imu_freq=IMU_HZ,
+    )
+    room = BoxRoom(seed=0, depth=2.5, h=1.2, w=1.8)
+    slam = StereoInertialSLAM(cfg)
+    t_prev = -1.0 / FPS
+    n1, n2 = 22, 30
+    frames = []
+    for i in range(n2):
+        t = i / FPS
+        Rwc, twc = cam_pose(t)
+        frames.append(stereo_pair(room, Rwc, twc, CAM.params, W, H, BL)[:2])
+    for i in range(n1):
+        t = i / FPS
+        acc, gyr, ts = imu_between(t_prev, t)
+        slam.process(frames[i][0], frames[i][1], i,
+                     t=t, acc=acc, gyr=gyr, imu_t=ts)
+        t_prev = t
+    assert slam.imu_stage >= 1
+    assert len(slam.kf_segments) >= 3
+    db_before = slam._reloc_database()
+    assert db_before is not None and db_before.present.sum() >= 3
+
+    path = str(tmp_path / "vi_map.npz")
+    save_map(path, slam)
+
+    slam2 = StereoInertialSLAM(cfg)
+    load_map(path, slam2)
+    # inertial chain restored: segments, preintegrations, stage
+    assert slam2.imu_stage == slam.imu_stage
+    assert len(slam2.kf_segments) == len(slam.kf_segments)
+    assert len(slam2.seg_preints) == len(slam.kf_segments)
+    assert slam2.seg_ok == slam.seg_ok
+    np.testing.assert_allclose(
+        np.asarray(slam2.seg_preints[0].dP),
+        np.asarray(slam.seg_preints[0].dP), atol=1e-5,
+    )
+    # place-recognition database restored with identical occupied rows
+    db_after = slam2._reloc_database()
+    assert db_after is not None
+    np.testing.assert_array_equal(db_after.present, db_before.present)
+    np.testing.assert_allclose(
+        np.asarray(db_after.bow_mat), np.asarray(db_before.bow_mat),
+        atol=1e-6,
+    )
+    # resumed system keeps tracking WITH inertial factors
+    t_prev = (n1 - 1) / FPS
+    ok = 0
+    for i in range(n1, n2):
+        t = i / FPS
+        acc, gyr, ts = imu_between(t_prev, t)
+        rec = slam2.process(frames[i][0], frames[i][1], i,
+                            t=t, acc=acc, gyr=gyr, imu_t=ts)
+        ok += rec.state == "OK"
+        t_prev = t
+    assert ok >= n2 - n1 - 2, "resumed inertial system lost tracking"
+    assert slam2.imu_stage >= 1
