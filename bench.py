@@ -163,7 +163,10 @@ def main():
         # per keyframe and drains at batch boundaries
         enable_loop_closing=True,
     )
-    n_vi = 96
+    # 240 frames (12 s of camera): the 96-frame round-4 lap spent a third
+    # of its wall on one-time IMU-init/bootstrap work — too short to show
+    # the steady state the reference's "real-time" claim is about
+    n_vi = 240
     times_vi = [i / fps_cam for i in range(n_vi)]
     pairs_vi_np = []
     for t in times_vi:
@@ -227,7 +230,10 @@ def main():
             0.10 * np.sin(2 * np.pi * 3.1 * s),
             0.18 * np.sin(ph + 1.2),
         ])
-        yaw = 0.45 + 0.30 * np.sin(ph + 0.4)
+        # wide yaw sweep: the camera looks AWAY during each excursion and
+        # re-sees the start region on return — without leaving the start's
+        # field of view no drift/loop mechanism exists
+        yaw = 0.45 + 0.70 * np.sin(ph + 0.4)
         pitch = 0.05 * np.sin(2 * np.pi * 1.3 * s)
         Rwc = np.asarray(so3.exp(jnp.asarray([pitch, yaw, 0.0])))
         return Rwc, twc
@@ -248,6 +254,20 @@ def main():
             s._maybe_close_loop = lambda slot, feats: s._register_reloc_kf(
                 slot
             )
+        # denser keyframes than the ratio policy alone would give (a
+        # keyframe at least every 8 frames while tracking) so revisits
+        # fall OUTSIDE the loop closer's recency exclusion; instance-level
+        # override keeps the config hash — no recompiles
+        base_need = s._need_new_kf
+
+        def need_kf(n_inl, **kw):
+            if base_need(n_inl, **kw):
+                return True
+            return (
+                s.frames_since_kf >= 8 and n_inl > 15 and s._can_insert_kf()
+            )
+
+        s._need_new_kf = need_kf
         i = 0
         while i < n_a:
             j = min(i + B, n_a)

@@ -480,6 +480,11 @@ def reconstruct_two_views(
         R_w, t_w, rays1, rays2, goods[kbest].astype(dtype)
     )
     good_f, pts_f, _, _, _ = check((R_w[None], t_w[None]))
+    # the map is built from the POST-refine inlier set: success must gate
+    # on it too — a diverged polish can collapse good_f to ~0 while the
+    # pre-refine vote looked healthy (found: NaN-scale init on the
+    # round-5 pendulum accuracy lap, which then poisoned every pose)
+    success = success & (jnp.sum(good_f) >= 40)
     return TwoViewResult(
         success=success,
         R21=R_w,

@@ -424,3 +424,228 @@ def brief_sample_tpu(img_blur: jnp.ndarray, gy: jnp.ndarray,
         None, None, :
     ]
     return jnp.sum(words, axis=-1, dtype=jnp.uint32)  # (K, 8)
+
+
+# ---------------------------------------------------------------------------
+# Stereo SAD kernel
+#
+# ``match_stereo``'s subpixel refinement gathers an 11x11 left patch and an
+# 11x21 right strip per keypoint — ~422k randomly-addressed elements per
+# frame, latency-bound at ~14 ns/element like the pre-Pallas rBRIEF gather
+# (≈6 ms/frame, round-5 profile).  Same cure: per keypoint, dynamic-slice
+# ALIGNED (16, 256) windows of the pyramid atlases out of VMEM, select the
+# 11 patch rows with a one-hot MXU contraction, lane-align the right strip
+# to the left window with a one-hot shift matmul, and evaluate all 11 SAD
+# shifts as static lane-rolls + masked reductions — dense compute instead
+# of a pointer chase.
+# ---------------------------------------------------------------------------
+
+_SAD_KB = 16     # keypoints per grid step
+_SAD_WH = 24     # window rows (11 + 7 max in-window offset + alignment)
+_SAD_WW = 256    # window cols (lane origins must be multiples of 128)
+
+
+def _sad_kernel(y0_ref, x0l_ref, x0r_ref, dy_ref, cl_ref, cr_ref,
+                al_ref, ar_ref, out_ref, win_ref, sem_ref):
+    """Batched SAD: one grid step evaluates 8 keypoints.
+
+    The pyramid atlases stay in HBM (memory_space=ANY — both sides in VMEM
+    OOM'd at 752x480x8-level scale); each keypoint's aligned (24, 256)
+    windows are DMA'd into a small VMEM bank, then THREE large one-hot MXU
+    contractions (row-select, left/right lane-select) and 11 static
+    lane-rolls + masked reductions evaluate all shifts — dense compute
+    instead of a ~422k-element random gather.  Output rows are PER PATCH
+    ROW — the final 11-row sum per keypoint happens outside (XLA reduce).
+    """
+    KB = _SAD_KB
+    R88 = KB * 11
+    ib = pl.program_id(0)
+
+    # DMA all 2*KB windows into the bank, then wait
+    for k in range(KB):
+        y0 = pl.multiple_of(y0_ref[k, 0], 8)
+        x0l = pl.multiple_of(x0l_ref[k, 0], 128)
+        x0r = pl.multiple_of(x0r_ref[k, 0], 128)
+        cpl = pltpu.make_async_copy(
+            al_ref.at[ib, pl.ds(y0, _SAD_WH), pl.ds(x0l, _SAD_WW)],
+            win_ref.at[k, :, 0:_SAD_WW],
+            sem_ref.at[2 * k],
+        )
+        cpr = pltpu.make_async_copy(
+            ar_ref.at[ib, pl.ds(y0, _SAD_WH), pl.ds(x0r, _SAD_WW)],
+            win_ref.at[k, :, _SAD_WW:],
+            sem_ref.at[2 * k + 1],
+        )
+        cpl.start()
+        cpr.start()
+    for k in range(KB):
+        y0 = pl.multiple_of(y0_ref[k, 0], 8)
+        x0l = pl.multiple_of(x0l_ref[k, 0], 128)
+        x0r = pl.multiple_of(x0r_ref[k, 0], 128)
+        pltpu.make_async_copy(
+            al_ref.at[ib, pl.ds(y0, _SAD_WH), pl.ds(x0l, _SAD_WW)],
+            win_ref.at[k, :, 0:_SAD_WW],
+            sem_ref.at[2 * k],
+        ).wait()
+        pltpu.make_async_copy(
+            ar_ref.at[ib, pl.ds(y0, _SAD_WH), pl.ds(x0r, _SAD_WW)],
+            win_ref.at[k, :, _SAD_WW:],
+            sem_ref.at[2 * k + 1],
+        ).wait()
+
+    WIN = win_ref[:].astype(jnp.float32).reshape(KB * _SAD_WH, 2 * _SAD_WW)
+
+    # one-hot row selection: out row i = k*11 + r picks bank row
+    # k*24 + dy_k + r.  The per-row target is built on a THIN (R88, 1)
+    # column (8 masked adds over 88 elements, not 88x192) and compared
+    # against the lane iota once — mask construction was half the kernel
+    i0c = jax.lax.broadcasted_iota(jnp.int32, (R88, 1), 0)
+    k_ofc = i0c // 11
+    r_ofc = i0c - k_ofc * 11
+    dy_ofc = jnp.zeros((R88, 1), jnp.int32)
+    for k in range(KB):
+        dy_ofc = dy_ofc + jnp.where(k_ofc == k, dy_ref[k, 0], 0)
+    rowtarget = k_ofc * _SAD_WH + dy_ofc + r_ofc           # (R88, 1)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (R88, KB * _SAD_WH), 1)
+    OY = (i1 == rowtarget).astype(jnp.float32)
+    ROWS = jax.lax.dot_general(
+        OY, WIN, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                            # (88, 512)
+    L = jax.lax.slice(ROWS, (0, 0), (R88, _SAD_WW))
+    R = jax.lax.slice(ROWS, (0, _SAD_WW), (R88, 2 * _SAD_WW))
+
+    # lane selection into per-keypoint 32-lane blocks:
+    # SEL[c, k*32+t] = (c == base_k + t); every row keeps only its own
+    # keypoint's block via the block-diagonal mask below
+    WSEL = KB * 32
+    c0 = jax.lax.broadcasted_iota(jnp.int32, (_SAD_WW, WSEL), 0)
+    c1r = jax.lax.broadcasted_iota(jnp.int32, (1, WSEL), 1)
+    kb_ofr = c1r // 32
+    t_ofr = c1r - kb_ofr * 32
+    cl_ofr = jnp.zeros((1, WSEL), jnp.int32)
+    cr_ofr = jnp.zeros((1, WSEL), jnp.int32)
+    for k in range(KB):
+        sel = kb_ofr == k
+        cl_ofr = cl_ofr + jnp.where(sel, cl_ref[k, 0], 0)
+        cr_ofr = cr_ofr + jnp.where(sel, cr_ref[k, 0], 0)
+    CL = (c0 == cl_ofr + t_ofr).astype(jnp.float32)
+    CR = (c0 == cr_ofr + t_ofr).astype(jnp.float32)
+    Lsel = jax.lax.dot_general(
+        L, CL, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )                                            # (88, 256)
+    Rsel = jax.lax.dot_general(
+        R, CR, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R88, WSEL), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R88, WSEL), 0)
+    blockdiag = (lane // 32 == row // 11) & (lane - (lane // 32) * 32 < 11)
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (R88, 128), 1)
+    acc = jnp.zeros((R88, 128), jnp.float32)
+    for inc in range(11):
+        Ar = pltpu.roll(Rsel, (-inc) % WSEL, 1) if inc else Rsel
+        d = jnp.where(blockdiag, jnp.abs(Lsel - Ar), 0.0)
+        rowsum = jnp.sum(d, axis=1, keepdims=True)       # (88, 1)
+        acc = acc + rowsum * (lane_out == inc).astype(jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.cache
+def _sad_pallas_fn(b: int, kpad: int, h: int, w: int):
+    grid = (b, kpad // _SAD_KB)
+    spec_s = pl.BlockSpec((None, _SAD_KB, 1), lambda ib, ik: (ib, ik, 0),
+                          memory_space=pltpu.SMEM)
+    # atlases stay in HBM (ANY); the kernel DMAs per-keypoint windows
+    spec_img = pl.BlockSpec(memory_space=pltpu.ANY)
+    return jax.jit(
+        lambda y0, x0l, x0r, dy, cl, cr, al, ar: pl.pallas_call(
+            _sad_kernel,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((b, kpad * 11, 128), jnp.float32),
+            in_specs=[spec_s, spec_s, spec_s, spec_s, spec_s, spec_s,
+                      spec_img, spec_img],
+            out_specs=pl.BlockSpec((None, _SAD_KB * 11, 128),
+                                   lambda ib, ik: (ib, ik, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_SAD_KB, _SAD_WH, 2 * _SAD_WW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2 * _SAD_KB,)),
+            ],
+        )(y0, x0l, x0r, dy, cl, cr, al, ar)
+    )
+
+
+def _sad_prep(cv, cu, cur, h_atlas, w_atlas):
+    """Aligned window origins + in-window offsets for the SAD kernel.
+
+    cv: atlas row of the keypoint (level row + level row-offset);
+    cu/cur: level-coordinate columns of the left keypoint / right match.
+    Returns int32 (y0, x0l, x0r, dy, cl, s) with y0 % 8 == 0 and
+    x0l/x0r % 128 == 0, every window inside the padded atlas.
+    """
+    y0 = jnp.clip((cv - 5) // 8 * 8, 0, ((h_atlas - _SAD_WH) // 8) * 8)
+    dy = cv - 5 - y0
+    max_x0 = ((w_atlas - _SAD_WW) // 128) * 128
+    x0l = jnp.clip((cu - 5) // 128 * 128, 0, max_x0)
+    x0r = jnp.clip((cur - 10) // 128 * 128, 0, max_x0)
+    cl = cu - 5 - x0l
+    cr = cur - 10 - x0r
+    f = lambda a: a.astype(jnp.int32)
+    return f(y0), f(x0l), f(x0r), f(dy), f(cl), f(cr)
+
+
+if _HAS_PALLAS:
+    @jax.custom_batching.custom_vmap
+    def _sad_tpu(atlas_l, atlas_r, y0, x0l, x0r, dy, cl, cr):
+        h, w = atlas_l.shape
+        kpad = y0.shape[0]
+        out = _sad_pallas_fn(1, kpad, h, w)(
+            y0[None, :, None], x0l[None, :, None], x0r[None, :, None],
+            dy[None, :, None], cl[None, :, None], cr[None, :, None],
+            atlas_l[None], atlas_r[None],
+        )
+        return out[0]
+
+    @_sad_tpu.def_vmap
+    def _sad_tpu_vmap(axis_size, in_batched, atlas_l, atlas_r,
+                      y0, x0l, x0r, dy, cl, cr):
+        b, h, w = atlas_l.shape
+        kpad = y0.shape[1]
+        out = _sad_pallas_fn(b, kpad, h, w)(
+            y0[:, :, None], x0l[:, :, None], x0r[:, :, None],
+            dy[:, :, None], cl[:, :, None], cr[:, :, None],
+            atlas_l, atlas_r,
+        )
+        return out, True
+
+
+def sad_stereo_tpu(atlas_l, atlas_r, cv, cu, cur):
+    """(K, 11) SAD values for the 11 horizontal shifts, or None off-TPU.
+
+    atlas_l/atlas_r: level-stacked pyramid images (callers pad so every
+    aligned window fits — rows to a multiple of 8 plus 16, cols to a
+    multiple of 128 plus 256).  cv: atlas row (level row + row offset);
+    cu/cur: level columns of the left keypoint / Hamming-matched right
+    keypoint.  Interior keypoints (the FAST margin guarantees > 16 px)
+    reproduce the XLA gather path exactly; border windows differ only in
+    clamp behaviour and are rejected downstream anyway.
+    """
+    if not (_HAS_PALLAS and _on_tpu()):
+        return None
+    H, W = atlas_l.shape
+    K = cv.shape[0]
+    y0, x0l, x0r, dy, cl, cr = _sad_prep(cv, cu, cur, H, W)
+    kpad = -(-K // _SAD_KB) * _SAD_KB
+    if kpad != K:
+        pad = lambda a: jnp.pad(a, (0, kpad - K))
+        y0, x0l, x0r, dy, cl, cr = map(pad, (y0, x0l, x0r, dy, cl, cr))
+    rows = _sad_tpu(atlas_l, atlas_r, y0, x0l, x0r, dy, cl, cr)
+    # kernel emits per-PATCH-ROW sums: (kpad*11, 128) -> (K, 11, 11) -> sum
+    sads = rows[:, :11].reshape(kpad, 11, 11).sum(axis=1)
+    return sads[:K]

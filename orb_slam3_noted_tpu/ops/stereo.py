@@ -117,24 +117,51 @@ def match_stereo(
     cv = jnp.round((vL0 + 0.5) / sy - 0.5).astype(jnp.int32)
     cur = jnp.round((uR0 + 0.5) / sx - 0.5).astype(jnp.int32)
 
-    # per-keypoint clamped atlas windows (rows stay inside the level band)
-    dy = jnp.arange(-_W, _W + 1)
-    yy = jnp.clip(cv[:, None] + dy[None, :], 0, h_t[lvl][:, None] - 1)
-    yy = yy + off_t[lvl][:, None]                               # (NL, 11)
-    dxl = jnp.arange(-_W, _W + 1)
-    xxl = jnp.clip(cu[:, None] + dxl[None, :], 0, w_t[lvl][:, None] - 1)
-    dxr = jnp.arange(-(_W + _L), _W + _L + 1)
-    xxr = jnp.clip(cur[:, None] + dxr[None, :], 0, w_t[lvl][:, None] - 1)
-    patchL = atlas_l[yy[:, :, None], xxl[:, None, :]]           # (NL, 11, 11)
-    strip = atlas_r[yy[:, :, None], xxr[:, None, :]]            # (NL, 11, 21)
+    # clamp to the level interior (FAST margins keep real keypoints inside;
+    # this only protects invalid/padded rows)
+    cu_c = jnp.clip(cu, 0, w_t[lvl] - 1)
+    cv_c = jnp.clip(cv, 0, h_t[lvl] - 1)
+    cur_c = jnp.clip(cur, 0, w_t[lvl] - 1)
 
-    # SAD for the 11 horizontal shifts
-    sads = []
-    for inc in range(2 * _L + 1):
-        sads.append(
-            jnp.sum(jnp.abs(patchL - strip[:, :, inc : inc + 2 * _W + 1]), axis=(1, 2))
+    from orb_slam3_noted_tpu.ops import pallas_kernels as PK
+
+    H_at = atlas_l.shape[0]
+    hpad = -(-H_at // 8) * 8 + PK._SAD_WH
+    wpad = -(-W0 // 128) * 128 + PK._SAD_WW
+    sads = None
+    if PK._HAS_PALLAS and PK._on_tpu():
+        # Pallas SAD: aligned VMEM windows + one-hot MXU selection instead
+        # of a ~422k-element random gather (~6 ms/frame, round-5 profile).
+        # bf16 atlases halve VMEM residency; SADs accumulate in f32.
+        pad_at = lambda a: jnp.pad(
+            a, ((0, hpad - H_at), (0, wpad - W0))
+        ).astype(jnp.bfloat16)
+        sads = PK.sad_stereo_tpu(
+            pad_at(atlas_l), pad_at(atlas_r),
+            cv_c + off_t[lvl], cu_c, cur_c,
         )
-    sads = jnp.stack(sads, axis=1)  # (NL, 11)
+    if sads is None:
+        # XLA gather fallback (CPU tests / non-TPU backends)
+        dy = jnp.arange(-_W, _W + 1)
+        yy = jnp.clip(cv[:, None] + dy[None, :], 0, h_t[lvl][:, None] - 1)
+        yy = yy + off_t[lvl][:, None]                           # (NL, 11)
+        dxl = jnp.arange(-_W, _W + 1)
+        xxl = jnp.clip(cu[:, None] + dxl[None, :], 0, w_t[lvl][:, None] - 1)
+        dxr = jnp.arange(-(_W + _L), _W + _L + 1)
+        xxr = jnp.clip(cur[:, None] + dxr[None, :], 0, w_t[lvl][:, None] - 1)
+        patchL = atlas_l[yy[:, :, None], xxl[:, None, :]]       # (NL, 11, 11)
+        strip = atlas_r[yy[:, :, None], xxr[:, None, :]]        # (NL, 11, 21)
+
+        # SAD for the 11 horizontal shifts
+        sads = []
+        for inc in range(2 * _L + 1):
+            sads.append(
+                jnp.sum(
+                    jnp.abs(patchL - strip[:, :, inc : inc + 2 * _W + 1]),
+                    axis=(1, 2),
+                )
+            )
+        sads = jnp.stack(sads, axis=1)  # (NL, 11)
     k = jnp.argmin(sads, axis=1)
     interior = (k > 0) & (k < 2 * _L)
     km = jnp.clip(k, 1, 2 * _L - 1)

@@ -378,10 +378,13 @@ class InertialMixin:
             return
         # the stage-0 visual mapper culls keyframes on device; drop any
         # culled slot from the chain (merging its IMU segments) before the
-        # init solver consumes stale poses
-        self._splice_chain(jax.device_get(self.m.kf_valid))
-        if len(self.kf_order) < cfg.imu_init_min_kfs:
-            return
+        # FIRST init solve consumes stale poses.  Later stages run on the
+        # inertial path whose culls splice explicitly — skip the ~30 ms
+        # kf_valid round trip there (round-5 bench: 8 attempts x 30 ms)
+        if self.imu_stage == 0:
+            self._splice_chain(jax.device_get(self.m.kf_valid))
+            if len(self.kf_order) < cfg.imu_init_min_kfs:
+                return
         priors = [(1e2, 1e10 if self.FIX_SCALE is False else 1e5),
                   (1.0, 1e5), (0.0, 0.0)]
         prior_g, prior_a = priors[self.imu_stage]
@@ -607,6 +610,28 @@ def vi_track_batch(
     NF = feats_all.xy.shape[1]
     MP = m.mp_pos.shape[0]
 
+    # compact the local map to a bounded row set BEFORE matching: the
+    # (MP x NF) projection-search masks are HBM-bound at full 16k-point
+    # capacity (~0.6 ms/frame of pure temporary traffic, round-5 profile);
+    # the local window holds ~2-3k live points, so a 4096-row view does
+    # the same association at 1/4 the bandwidth
+    MPC = min(4096, MP)
+    from orb_slam3_noted_tpu.utils.timing import report_saturation
+
+    report_saturation(
+        "vi_local_map_rows",
+        jnp.maximum(jnp.sum(mp_mask.astype(jnp.int32)) - MPC, 0),
+    )
+    sel_mp = jnp.argsort(~mp_mask)[:MPC]
+    mask_c = mp_mask[sel_mp]
+    m_sub = m._replace(
+        mp_pos=m.mp_pos[sel_mp], mp_desc=m.mp_desc[sel_mp],
+        mp_normal=m.mp_normal[sel_mp], mp_dmin=m.mp_dmin[sel_mp],
+        mp_dmax=m.mp_dmax[sel_mp], mp_valid=m.mp_valid[sel_mp],
+        mp_ref_kf=m.mp_ref_kf[sel_mp], mp_nobs=m.mp_nobs[sel_mp],
+        mp_visible=m.mp_visible[sel_mp], mp_found=m.mp_found[sel_mp],
+    )
+
     cam2, Rrl, trl = T._second_camera(cfg)
 
     def one(feats, uvr, uv2, a, w, d):
@@ -618,10 +643,10 @@ def vi_track_batch(
             jax.tree_util.tree_map(lambda x: x[None], frame0), calib
         )
         obs, f_idx, vis = T.match_local_map(
-            m, feats, Rcw_p[0], tcw_p[0], mp_mask, cam, cfg, feat_uvr=uvr,
+            m_sub, feats, Rcw_p[0], tcw_p[0], mask_c, cam, cfg, feat_uvr=uvr,
             feat_uv2=uv2,
         )
-        # compact the (MP,)-indexed observation table to the matched set
+        # compact the (MPC,)-indexed observation table to the matched set
         # (bounded by NF distinct features): the VI pose optimizer's cost
         # is linear in its observation rows, and running it over the full
         # 16k-point table was 8x wasted work (round-4 profile: 43 ms/frame)
@@ -630,7 +655,7 @@ def vi_track_batch(
             lambda x: x[sel] if x is not None else None, obs
         )
         res = vi_pose_optimization(
-            cam, calib, anchor, frame0, pre, m.mp_pos[sel], obs_c, bf=bf,
+            cam, calib, anchor, frame0, pre, m_sub.mp_pos[sel], obs_c, bf=bf,
             cam2=cam2, Rrl=Rrl, trl=trl,
         )
         st1 = VIState(Rwb=res.Rwb[None], twb=res.twb[None],
@@ -638,8 +663,11 @@ def vi_track_batch(
         Rcw, tcw = cam_from_body(st1, calib)
         keep_c = obs_c.valid & res.inliers               # (NF,) on sel rows
         tgt = jnp.where(keep_c, f_idx[sel], NF)
-        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(sel)[:NF]
-        keep = jnp.zeros(MP, bool).at[sel].max(keep_c)
+        # feature bindings carry GLOBAL point ids (sel indexes the view)
+        mp_of_feat = jnp.full((NF + 1,), -1, jnp.int32).at[tgt].set(
+            sel_mp[sel].astype(jnp.int32)
+        )[:NF]
+        keep = jnp.zeros(MPC, bool).at[sel].max(keep_c)
         return (Rcw[0], tcw[0], res.n_inliers, mp_of_feat, res.vel,
                 vis, keep)
 
@@ -653,11 +681,15 @@ def vi_track_batch(
             feats_all, uvr_all, uv2_all, acc, gyr, dts
         )
     cmf = count_mask[:, None]
+    # vis/found counters come back on the compacted rows: scatter the
+    # per-batch sums to the global tables through sel_mp
     m = m._replace(
-        mp_visible=m.mp_visible
-        + jnp.sum(vis_all & cmf, axis=0).astype(jnp.int32),
-        mp_found=m.mp_found
-        + jnp.sum(keep_all & cmf, axis=0).astype(jnp.int32),
+        mp_visible=m.mp_visible.at[sel_mp].add(
+            jnp.sum(vis_all & cmf, axis=0).astype(jnp.int32)
+        ),
+        mp_found=m.mp_found.at[sel_mp].add(
+            jnp.sum(keep_all & cmf, axis=0).astype(jnp.int32)
+        ),
     )
     return m, Rs, ts, n_inls, mp_feats, vels
 
@@ -727,6 +759,8 @@ class MonoInertialSLAM(InertialMixin, MonoSLAM):
                 self.state = OK
                 self.frames_since_kf += 1
                 self._record(frame_id, Rcw, tcw, n_inl)
+                if self.keep_frame_overlay:
+                    self._record_overlay(feats, mp_of_feat, frame_id)
                 # full NeedNewKeyFrame policy (unified round-5: the override
                 # below layers the inertial 0.5 s rule on the c1/c2 ladder)
                 if self._need_new_kf(n_inl):
@@ -941,6 +975,8 @@ class StereoInertialSLAM(MonoInertialSLAM):
                 self.state = OK
                 self.frames_since_kf += 1
                 self._record(frame_id, Rcw, tcw, n_inl)
+                if self.keep_frame_overlay:
+                    self._record_overlay(feats, mp_of_feat, frame_id)
                 # full NeedNewKeyFrame with the stereo close-point trigger
                 # (unified round-5; reference `src/Tracking.cc:2962-2992`)
                 close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
@@ -999,9 +1035,6 @@ class StereoInertialSLAM(MonoInertialSLAM):
         from orb_slam3_noted_tpu.utils.timing import GLOBAL_TIMER as TIMER
 
         cfg = self.cfg
-        if self._pending_loops:
-            self.flush()
-        self._service_background()
         if acc is not None:
             self.feed_imu(acc, gyr, imu_t)
         if ts is None:
@@ -1032,6 +1065,16 @@ class StereoInertialSLAM(MonoInertialSLAM):
             feats_all, uvr_all, depth_all = T.stereo_frontend_batch(
                 prepL, prepR, self.cam, cfg, bf=cfg.bf
             )
+        # drain queued loop detections AFTER dispatching the frontend: the
+        # drain's device pull only waits for the PREVIOUS batch's tail
+        # (in-order queue), so the host walks loop decisions while this
+        # batch's extraction computes — the ~130 ms/batch drain cost of
+        # the round-5 stage table rides under the frontend.  Extraction
+        # does not read the map, so a rare loop correction applied here is
+        # still fully visible to the tracking dispatch below.
+        if self._pending_loops:
+            self.flush()
+        self._service_background()
         tree = jax.tree_util.tree_map
         pos = 0
         while pos < B:
@@ -1247,6 +1290,8 @@ class FisheyeStereoInertialSLAM(StereoInertialSLAM):
                 self.state = OK
                 self.frames_since_kf += 1
                 self._record(frame_id, Rcw, tcw, n_inl)
+                if self.keep_frame_overlay:
+                    self._record_overlay(feats, mp_of_feat, frame_id)
                 close_th = (cfg.bf / self.cam.fx) * cfg.th_depth
                 close = (depth > 0) & (depth < close_th)
                 tc, ntc = jax.device_get((

@@ -630,7 +630,18 @@ class LoopCloser:
                     slam.m, slam.cam, slam.cfg, bf=slam.cfg.bf,
                     n_iters=6, n_iters_final=4,
                 )  # slices run at frame boundaries via service_gba
-        # tracking state continues from the corrected pose of the current KF
-        slam.last_Rcw = slam.m.kf_Rcw[slot]
-        slam.last_tcw = slam.m.kf_tcw[slot]
-        slam.vel = None
+        # tracking continues from the corrected pose of the LAST TRACKED
+        # FRAME — re-anchored through the loop keyframe's correction (its
+        # own pose can be many frames stale; round-5 found that resetting
+        # to it dropped tracking for ~60 frames after an otherwise good
+        # correction).  T_last_new = (T_last_old ∘ T_kf_old^-1) ∘ T_kf_new.
+        R_rel = jnp.einsum(
+            "ij,kj->ik", slam.last_Rcw, R_all[slot], precision=_HP
+        )
+        t_rel = slam.last_tcw - R_rel @ t_all[slot]
+        Rk_new = slam.m.kf_Rcw[slot]
+        tk_new = slam.m.kf_tcw[slot]
+        slam.last_Rcw = R_rel @ Rk_new
+        slam.last_tcw = R_rel @ tk_new + t_rel
+        # the frame-to-frame motion model is a RELATIVE transform — it
+        # survives the (rigid-ish) correction; keep it

@@ -98,6 +98,11 @@ class MonoSLAM:
         # reference System::ActivateLocalizationMode: track against the
         # frozen map, never insert keyframes / run the mapper
         self.localization_only = False
+        # FrameDrawer hook (reference ``FrameDrawer::Update``): when on,
+        # per-frame tracking records a keypoint/match snapshot for
+        # ``utils.viewer.draw_frame`` (one small host pull per frame)
+        self.keep_frame_overlay = False
+        self.last_overlay = None
 
     # ------------------------------------------------------------------
     # deferred-sync allocation pointer: keyframe insertion leaves ``n_mp`` as
@@ -147,11 +152,16 @@ class MonoSLAM:
         """Recompute the recycled-slot list from a fresh kf_valid pull.
 
         Before a slot may be recycled, every trajectory record anchored to
-        it is converted to an absolute pose using the culled keyframe's
-        final pose (the equivalent of the reference's spanning-tree walk in
-        ``SaveTrajectoryTUM``, `src/System.cc:461-467` — a record must
-        never compose with a RECYCLED slot's new occupant)."""
-        dead = np.flatnonzero(~np.asarray(kf_valid)[: self.n_kf])
+        it is RE-ANCHORED to the culled keyframe's spanning-tree parent
+        (the reference's ``SaveTrajectoryTUM`` walk, `src/System.cc:
+        461-467`): rel' = rel ∘ T_dead ∘ T_parent^-1 keeps the record
+        relative to a LIVE keyframe, so it still follows every later
+        BA/loop refinement.  (Round-5: baking to an absolute pose here
+        froze pre-loop records at their drifted values — the corrected map
+        reached 3 mm while the trajectory stayed at 8 cm.)  Records whose
+        culled reference has no live ancestor fall back to absolute."""
+        kf_valid = np.asarray(kf_valid)
+        dead = np.flatnonzero(~kf_valid[: self.n_kf])
         newly_dead = [
             int(s) for s in dead
             if s != self.last_kf_slot and int(s) not in self._dead_slots
@@ -161,15 +171,33 @@ class MonoSLAM:
             fixup = [s for s in newly_dead if s in refs]
             if fixup:
                 sl = jnp.asarray(np.asarray(fixup, np.int32))
-                Rk, tk = jax.device_get((self.m.kf_Rcw[sl], self.m.kf_tcw[sl]))
-                pose = {s: (Rk[k], tk[k]) for k, s in enumerate(fixup)}
+                Rk, tk, par = jax.device_get((
+                    self.m.kf_Rcw[sl], self.m.kf_tcw[sl],
+                    self.m.kf_parent[sl],
+                ))
+                psl = jnp.asarray(np.clip(par, 0, None).astype(np.int32))
+                Rp, tp = jax.device_get(
+                    (self.m.kf_Rcw[psl], self.m.kf_tcw[psl])
+                )
+                info = {
+                    s: (Rk[k], tk[k], int(par[k]), Rp[k], tp[k])
+                    for k, s in enumerate(fixup)
+                }
                 for r in self.trajectory:
-                    if r.ref_slot in pose:
-                        Rr, tr = pose[r.ref_slot]
-                        r.Rcw = r.rel_R @ Rr
-                        r.tcw = r.rel_R @ tr + r.rel_t
-                        r.ref_slot = -1
-                        r.rel_R = r.rel_t = None
+                    if r.ref_slot in info:
+                        Rr, tr, p, Rpp, tpp = info[r.ref_slot]
+                        if p >= 0 and kf_valid[p]:
+                            # T_dead o T_parent^-1
+                            A_R = Rr @ Rpp.T
+                            A_t = tr - A_R @ tpp
+                            r.rel_t = r.rel_R @ A_t + r.rel_t
+                            r.rel_R = r.rel_R @ A_R
+                            r.ref_slot = p
+                        else:
+                            r.Rcw = r.rel_R @ Rr
+                            r.tcw = r.rel_R @ tr + r.rel_t
+                            r.ref_slot = -1
+                            r.rel_R = r.rel_t = None
             self._dead_slots.update(newly_dead)
         self.free_kf_slots = [
             int(s) for s in dead if s != self.last_kf_slot
@@ -557,6 +585,12 @@ class MonoSLAM:
                 self.frames_since_kf += 1
                 return
         self._update_lost_state(True)
+        if self.keep_frame_overlay:
+            self.last_overlay = dict(
+                xy=np.asarray(feats.xy), valid=np.asarray(feats.valid),
+                matched=np.asarray(mp_of_feat) >= 0, frame_id=int(frame_id),
+                state=self.state, n_kf=self.n_kf, n_mp=self.n_mp,
+            )
         self.vel = se3.compose((Rcw, tcw), se3.inverse((self.last_Rcw, self.last_tcw)))
         self.frames_since_kf += 1
         ref_now = (self.last_kf_slot,) + tuple(jax.device_get((
@@ -576,6 +610,15 @@ class MonoSLAM:
         if self._need_new_kf(n_inl, tracked_close=tc, nontracked_close=ntc):
             self._insert_keyframe(feats, frame_id, Rcw, tcw, mp_of_feat, n_inl,
                                   uvr=uvr, depth=depth, xy_r=xy_r)
+
+    # ------------------------------------------------------------------
+    def _record_overlay(self, feats, mp_of_feat, frame_id):
+        """FrameDrawer snapshot (see ``keep_frame_overlay``)."""
+        self.last_overlay = dict(
+            xy=np.asarray(feats.xy), valid=np.asarray(feats.valid),
+            matched=np.asarray(mp_of_feat) >= 0, frame_id=int(frame_id),
+            state=self.state, n_kf=self.n_kf, n_mp=self.n_mp,
+        )
 
     # ------------------------------------------------------------------
     def _record(self, frame_id, Rcw, tcw, n_inl, ref_pose=None):
@@ -651,9 +694,16 @@ class MonoSLAM:
         cfg = self.cfg
         ref = self.ref_feats
         # normalize scale: median depth of accepted points -> 1 (reference
-        # CreateInitialMapMonocular)
+        # CreateInitialMapMonocular).  Guard the degenerate-success case
+        # (too few accepted points -> nan median -> nan-scaled map)
+        if int(np.sum(good)) < 30:
+            self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
+            return
         z = pts1_np[:, 2]
         med = float(np.median(z[good]))
+        if not np.isfinite(med) or med <= 1e-6:
+            self._record(frame_id, self.last_Rcw, self.last_tcw, 0)
+            return
         scale = 1.0 / max(med, 1e-6)
         pts_w = pts1_dev * scale        # KF0 frame == world
         t21 = t21_dev * scale

@@ -199,3 +199,49 @@ class LiveViewer:
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+def draw_frame(img, overlay, path: str | None = None):
+    """Keypoint overlay on the current frame — the reference's
+    ``FrameDrawer::DrawFrame`` (`/root/reference/src/FrameDrawer.cc`):
+    map-matched keypoints in green boxes, unmatched detections as small
+    blue dots, plus the status bar (state, keyframe/point/match counts).
+
+    ``overlay`` is the dict a SLAM system records when
+    ``slam.keep_frame_overlay = True`` (one host pull per frame — off by
+    default on the throughput path).  Returns an (H, W, 3) uint8 BGR image;
+    writes a PNG when ``path`` is given.
+    """
+    import cv2
+
+    im = np.asarray(img)
+    if im.ndim == 2:
+        im = cv2.cvtColor(im.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+    else:
+        im = im.astype(np.uint8).copy()
+    xy = np.asarray(overlay["xy"])
+    valid = np.asarray(overlay["valid"])
+    matched = np.asarray(overlay["matched"])
+    r = 3
+    for (x, y), v, mt in zip(xy, valid, matched):
+        if not v:
+            continue
+        p = (int(round(x)), int(round(y)))
+        if mt:
+            cv2.rectangle(im, (p[0] - r, p[1] - r), (p[0] + r, p[1] + r),
+                          (0, 255, 0), 1)
+            cv2.circle(im, p, 1, (0, 255, 0), -1)
+        else:
+            cv2.circle(im, p, 1, (255, 80, 0), -1)
+    n_match = int((valid & matched).sum())
+    bar = np.zeros((22, im.shape[1], 3), np.uint8)
+    txt = (
+        f"{overlay.get('state', '?')}  KFs: {overlay.get('n_kf', 0)}  "
+        f"MPs: {overlay.get('n_mp', 0)}  matches: {n_match}"
+    )
+    cv2.putText(bar, txt, (6, 15), cv2.FONT_HERSHEY_PLAIN, 1.0,
+                (255, 255, 255), 1)
+    out = np.concatenate([im, bar], axis=0)
+    if path is not None:
+        cv2.imwrite(path, out)
+    return out
