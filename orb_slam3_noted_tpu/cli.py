@@ -101,6 +101,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-in", default=None)
     p.add_argument("--times", action="store_true",
                    help="print per-stage timing stats (REGISTER_TIMES)")
+    p.add_argument("--metrics", default=None, metavar="PATH",
+                   help="append a structured JSONL metric record per "
+                        "dispatch (stage deltas, saturation, map gauges)")
     args = p.parse_args(argv)
 
     from orb_slam3_noted_tpu.io import datasets as D
@@ -113,6 +116,12 @@ def main(argv=None):
 
     if args.times:
         StageTimer.enabled = True
+    metrics = None
+    if args.metrics:
+        from orb_slam3_noted_tpu.utils.timing import MetricsStream
+
+        StageTimer.enabled = True  # stage deltas ride on the timer
+        metrics = MetricsStream(args.metrics)
 
     cfg, imu_params = load_settings(args.settings)
     mode = resolve_mode(cfg, args.mode)
@@ -208,6 +217,9 @@ def main(argv=None):
                         frames, list(range(off + i, off + j)), **kw
                     )
                 t_prev = seq_stamps[j - 1]
+            if metrics is not None:
+                metrics.emit("dispatch", seq_idx=si, frame=off + i,
+                             **metrics.gauges_for(slam))
             if (i // max(batch, 1)) % max(50 // max(batch, 1), 1) == 0:
                 ok = slam.trajectory[-1].state if slam.trajectory else "-"
                 print(
@@ -284,6 +296,11 @@ def main(argv=None):
         from orb_slam3_noted_tpu.utils.timing import print_saturation
 
         print_saturation(file=sys.stderr)
+    if metrics is not None:
+        metrics.emit("final", **metrics.gauges_for(slam), **{
+            k: v for k, v in result.items() if not isinstance(v, dict)
+        })
+        metrics.close()
     print(json.dumps(result))
 
 

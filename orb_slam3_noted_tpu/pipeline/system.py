@@ -103,6 +103,7 @@ class MonoSLAM:
         # ``utils.viewer.draw_frame`` (one small host pull per frame)
         self.keep_frame_overlay = False
         self.last_overlay = None
+        self.last_image = None  # kept only when keep_frame_overlay is on
 
     # ------------------------------------------------------------------
     # deferred-sync allocation pointer: keyframe insertion leaves ``n_mp`` as
@@ -323,6 +324,8 @@ class MonoSLAM:
         if self._pending_loops:
             self.flush()
         self._service_background()
+        if self.keep_frame_overlay:
+            self.last_image = np.asarray(img)
         if self.state == NOT_INITIALIZED:
             with TIMER.stage("initialize"):
                 feats = O.extract_orb(
@@ -1134,6 +1137,8 @@ class StereoSLAM(MonoSLAM):
         from orb_slam3_noted_tpu.ops.stereo import match_stereo
 
         cfg = self.cfg
+        if self.keep_frame_overlay:
+            self.last_image = np.asarray(img_left)
         iml = jnp.asarray(img_left, jnp.float32)
         imr = jnp.asarray(img_right, jnp.float32)
         kw = dict(
@@ -1227,6 +1232,8 @@ class FisheyeStereoSLAM(StereoSLAM):
         from orb_slam3_noted_tpu.ops.fisheye_stereo import match_fisheye_stereo
 
         cfg = self.cfg
+        if self.keep_frame_overlay:
+            self.last_image = np.asarray(img_left)
         iml = jnp.asarray(img_left, jnp.float32)
         imr = jnp.asarray(img_right, jnp.float32)
         kw = dict(
@@ -1272,6 +1279,8 @@ class RGBDSLAM(StereoSLAM):
 
     def process(self, img, depth_img, frame_id: int):
         cfg = self.cfg
+        if self.keep_frame_overlay:
+            self.last_image = np.asarray(img)
         im = jnp.asarray(img, jnp.float32)
         feats = O.extract_orb(
             im, n_features=cfg.n_features, n_levels=cfg.n_levels,

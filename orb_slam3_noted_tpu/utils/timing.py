@@ -159,3 +159,67 @@ def print_saturation(file=None):
     for name in sorted(SATURATION):
         lines.append(f"{name:<26} {SATURATION[name]:>10}")
     print("\n".join(lines), file=file)
+
+
+class MetricsStream:
+    """Structured JSONL metric stream (SURVEY §5 metrics/logging).
+
+    The reference's observability is stderr prints + the REGISTER_TIMES
+    dump at shutdown; a production TPU deployment needs a machine-readable
+    stream instead.  One :meth:`emit` per pipeline beat (frame batch, KF
+    insertion, loop event) appends a JSON line holding:
+
+    - monotonic sequence number + wall-clock timestamp,
+    - stage-timer DELTAS since the previous emit (only stages that ran),
+    - cumulative saturation counters,
+    - caller gauges (n_kf, n_mp, tracking state, imu_stage, ...).
+
+    Timer deltas come from ``GLOBAL_TIMER`` span counts, so the stream
+    composes with ``--times`` without double bookkeeping.
+    """
+
+    def __init__(self, path: str, timer: StageTimer | None = None):
+        self._f = open(path, "a", buffering=1)
+        self._timer = timer if timer is not None else GLOBAL_TIMER
+        self._seq = 0
+        self._seen: dict = {}  # stage -> span count at last emit
+
+    def emit(self, event: str, **gauges):
+        stages = {}
+        for name, spans in self._timer.spans.items():
+            k = len(spans)
+            k0 = self._seen.get(name, 0)
+            if k > k0:
+                new = spans[k0:]
+                stages[name] = {
+                    "n": len(new),
+                    "total_ms": round(sum(new) * 1e3, 3),
+                }
+                self._seen[name] = k
+        rec = dict(gauges)
+        # reserved keys win over caller gauges
+        rec.update({"seq": self._seq, "ts": time.time(), "event": event})
+        if stages:
+            rec["stages"] = stages
+        if SATURATION:
+            rec["saturation"] = dict(SATURATION)
+        self._seq += 1
+        import json
+
+        self._f.write(json.dumps(rec) + "\n")
+
+    def gauges_for(self, slam) -> dict:
+        """Standard system gauges pulled off any SLAM facade."""
+        g = {
+            "n_kf": int(getattr(slam, "n_kf", 0)),
+            "n_mp": int(getattr(slam, "n_mp", 0)),
+            "state": getattr(slam, "state", "?"),
+            "frames_total": int(getattr(slam, "frames_total", 0)),
+        }
+        stage = getattr(slam, "imu_stage", None)
+        if stage is not None:
+            g["imu_stage"] = int(stage)
+        return g
+
+    def close(self):
+        self._f.close()

@@ -174,6 +174,23 @@ class LiveViewer:
                     if self.path.endswith("state.json"):
                         body = json.dumps(map_snapshot(viewer.slam)).encode()
                         ctype = "application/json"
+                    elif self.path.endswith("frame.png"):
+                        # FrameDrawer stream (reference FrameDrawer::
+                        # DrawFrame): current image + keypoint overlay,
+                        # available when slam.keep_frame_overlay is on
+                        s = viewer.slam
+                        img = getattr(s, "last_image", None)
+                        ov = getattr(s, "last_overlay", None)
+                        if img is None or ov is None:
+                            self.send_response(404)
+                            self.end_headers()
+                            return
+                        import cv2
+
+                        frame = draw_frame(img, ov)
+                        okc, buf = cv2.imencode(".png", frame)
+                        body = buf.tobytes() if okc else b""
+                        ctype = "image/png"
                     else:
                         html = _HTML_TEMPLATE.replace(
                             "const DATA = __DATA__;", _LIVE_SHIM
